@@ -1,0 +1,20 @@
+"""Test config: force JAX onto CPU with 8 virtual devices so sharding tests
+run without TPU hardware (SURVEY §4 fake-backend strategy).  Must run before
+the first jax import anywhere in the test process."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
