@@ -1,0 +1,127 @@
+"""Zarr v3 store: round-trips, sharding, partial RMW, multiscale pyramids
+(behavioral contract of reference utils.py:18-98)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from interactive_unet_tpu import storage
+from interactive_unet_tpu.storage import zarr3
+
+
+def test_array_roundtrip_unsharded(tmp_path, rng):
+    a = zarr3.Array.create(tmp_path / "a", shape=(40, 50, 30), chunks=(16, 16, 16),
+                           dtype=np.uint8)
+    data = (rng.random((40, 50, 30)) * 255).astype(np.uint8)
+    a[:, :, :] = data
+    b = zarr3.Array.open(tmp_path / "a")
+    np.testing.assert_array_equal(b[:, :, :], data)
+    np.testing.assert_array_equal(b[3:20, 10:45, 5:30], data[3:20, 10:45, 5:30])
+
+
+def test_array_roundtrip_sharded(tmp_path, rng):
+    a = zarr3.Array.create(tmp_path / "a", shape=(70, 60, 50), chunks=(16, 16, 16),
+                           shards=(32, 32, 32), dtype=np.float32)
+    data = rng.random((70, 60, 50)).astype(np.float32)
+    a[:, :, :] = data
+    b = zarr3.Array.open(tmp_path / "a")
+    np.testing.assert_array_equal(b[:, :, :], data)
+    np.testing.assert_array_equal(b[5:40, 0:33, 17:50], data[5:40, 0:33, 17:50])
+
+
+def test_partial_write_rmw(tmp_path, rng):
+    a = zarr3.Array.create(tmp_path / "a", shape=(64, 64, 64), chunks=(16, 16, 16),
+                           shards=(32, 32, 32), dtype=np.float32)
+    d1 = rng.random((64, 64, 64)).astype(np.float32)
+    a[:] = d1
+    patch = rng.random((10, 20, 30)).astype(np.float32)
+    a[5:15, 10:30, 20:50] = patch
+    d1[5:15, 10:30, 20:50] = patch
+    np.testing.assert_array_equal(a[:], d1)
+    # accumulate (the blending RMW pattern, reference predict.py:244-245)
+    a[3:9, 3:9, 3:9] = a[3:9, 3:9, 3:9] + 1.0
+    d1[3:9, 3:9, 3:9] += 1.0
+    np.testing.assert_array_equal(a[:], d1)
+
+
+def test_missing_chunks_fill_value(tmp_path):
+    a = zarr3.Array.create(tmp_path / "a", shape=(32, 32, 32), chunks=(16, 16, 16),
+                           shards=(32, 32, 32), dtype=np.uint8, fill_value=0)
+    a[0:16, 0:16, 0:16] = 7
+    out = a[:]
+    assert out[0, 0, 0] == 7
+    assert out[20, 20, 20] == 0
+
+
+def test_4d_channel_array(tmp_path, rng):
+    a = zarr3.Array.create(tmp_path / "a", shape=(32, 32, 32, 3),
+                           chunks=(16, 16, 16, 3), shards=(32, 32, 32, 3),
+                           dtype=np.float32)
+    d = rng.random((32, 32, 32, 3)).astype(np.float32)
+    a[:] = d
+    np.testing.assert_array_equal(a[:, :, :, :], d)
+    np.testing.assert_array_equal(a[1:5, 2:6, 3:7, 1], d[1:5, 2:6, 3:7, 1])
+
+
+def test_group_and_keys(tmp_path):
+    root = zarr3.open_group(tmp_path / "g.zarr", mode="w")
+    root.create_array("0", shape=(8, 8, 8), chunks=(8, 8, 8), dtype=np.uint8)
+    root.create_array("1", shape=(4, 4, 4), chunks=(4, 4, 4), dtype=np.uint8)
+    r2 = zarr3.open_group(tmp_path / "g.zarr", mode="r")
+    assert r2.array_keys() == ["0", "1"]
+    assert "0" in r2 and "7" not in r2
+
+
+def test_spec_shaped_metadata(tmp_path):
+    a = zarr3.Array.create(tmp_path / "a", shape=(32, 32, 32), chunks=(8, 8, 8),
+                           shards=(16, 16, 16), dtype=np.uint8)
+    meta = json.loads((tmp_path / "a" / "zarr.json").read_text())
+    assert meta["zarr_format"] == 3
+    assert meta["node_type"] == "array"
+    assert meta["chunk_grid"]["configuration"]["chunk_shape"] == [16, 16, 16]
+    sharding = meta["codecs"][0]
+    assert sharding["name"] == "sharding_indexed"
+    assert sharding["configuration"]["chunk_shape"] == [8, 8, 8]
+    assert sharding["configuration"]["index_location"] == "end"
+    a[:] = 3
+    # chunk keys use the default "c/" separator encoding
+    assert (tmp_path / "a" / "c" / "0" / "0" / "0").exists()
+
+
+def test_multiscale_pyramid(tmp_path, rng):
+    vol = (rng.random((64, 64, 64)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(vol, tmp_path / "v.zarr", chunk_size=16,
+                                   shard_size=32)
+    root = zarr3.open_group(tmp_path / "v.zarr")
+    keys = root.array_keys()
+    assert keys[0] == "0"
+    assert len(keys) == 3  # 64 -> 32 -> 16 fits one chunk
+    np.testing.assert_array_equal(root["0"][:], vol)
+    assert root["1"].shape == (32, 32, 32)
+    assert root["2"].shape == (16, 16, 16)
+    # level 1 is the *blockwise* scipy order-0 zoom of level 0 (the reference
+    # downsamples per shard-sized block, utils.py:29-48, which differs from a
+    # global zoom because ndimage.zoom aligns grid endpoints per input)
+    from scipy import ndimage
+    expected = np.zeros((32, 32, 32), dtype=np.uint8)
+    for i in range(0, 64, 32):
+        for j in range(0, 64, 32):
+            for k in range(0, 64, 32):
+                expected[i // 2:i // 2 + 16, j // 2:j // 2 + 16, k // 2:k // 2 + 16] = \
+                    ndimage.zoom(vol[i:i + 32, j:j + 32, k:k + 32], 0.5, order=0)
+    np.testing.assert_array_equal(root["1"][:], expected)
+
+
+def test_read_volume_level_clamp(tmp_path, rng):
+    vol = (rng.random((32, 32, 32)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(vol, tmp_path / "v.zarr", chunk_size=16,
+                                   shard_size=16)
+    lvl = storage.read_volume(tmp_path / "v.zarr", level=99)
+    assert lvl.shape[0] <= 32
+
+
+def test_crc32c_known_vector():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert zarr3.crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert zarr3.crc32c(b"123456789") == 0xE3069283
