@@ -25,8 +25,9 @@ from . import zarr3
 def read_volume(path, level: int = 0) -> zarr3.Array:
     root = zarr3.open_group(path, mode="r")
     keys = root.array_keys()
-    num_scales = len(keys)
-    level = int(np.clip(level, 0, num_scales))
+    # clamp to the last existing level (the reference clamps to num_scales,
+    # utils.py:24-26, which over-runs by one — defect not replicated)
+    level = int(np.clip(level, 0, len(keys) - 1))
     return root[str(level)]
 
 
