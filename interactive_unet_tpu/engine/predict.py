@@ -1,0 +1,207 @@
+"""Inference engine (reference predict.py, re-designed for TPU).
+
+- ``predict_slice``: single-slice forward -> argmax -> palette colors
+  (reference predict.py:16-47).
+- ``predict_volumes``: overlapping-block sliding-window inference over every
+  stored volume: reflect-padded block fetch, 2.5D prediction (batched 2-D
+  forwards along all three axes inside ONE jit-compiled block function),
+  Gaussian window blending, uint8 normalization, multiscale Zarr writeback
+  (reference predict.py:114-264 semantics).
+
+TPU-first re-design vs the reference:
+- the per-block 2.5D loop (reference predict.py:79-112: torch moveaxis +
+  per-batch host->device round-trips) becomes a single jit function: the
+  block is pushed to HBM once, all three axis sweeps and the window multiply
+  stay on device (lax.fori_loop over fixed-size batches — static shapes)
+- no CUDA-OOM probing (reference predict.py:49-77): batch size is derived
+  from a static activation-memory estimate; XLA compiles one program
+- blending accumulation happens into host RAM (numpy) instead of zarr
+  read-modify-write churn (SURVEY hard part #5); volumes larger than RAM
+  fall back to temp-zarr accumulators, preserving reference behavior
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import storage
+from ..config import TrainConfig
+from ..models import build_model
+from ..ops import blending
+from ..ops import colors as C
+from . import checkpoint as ckpt_io
+
+
+def _load_model(root, num_channels, num_classes):
+    model_path = Path(root) / "model" / "model.ckpt"
+    if model_path.is_file():
+        state_dict, cfg = ckpt_io.load_checkpoint(model_path)
+        model = build_model(architecture=cfg.architecture,
+                            encoder_name=cfg.encoder_name,
+                            num_channels=cfg.num_channels,
+                            num_classes=cfg.num_classes)
+        dummy = jnp.zeros((1, 64, 64, cfg.num_channels), jnp.float32)
+        params = model.init(jax.random.key(0), dummy)
+        from flax import serialization
+        params = serialization.from_state_dict(params, state_dict)
+        return model, params, cfg
+    cfg = TrainConfig(num_channels=num_channels, num_classes=num_classes)
+    model = build_model(architecture=cfg.architecture,
+                        encoder_name=cfg.encoder_name,
+                        num_channels=num_channels, num_classes=num_classes)
+    dummy = jnp.zeros((1, 64, 64, num_channels), jnp.float32)
+    params = model.init(jax.random.key(0), dummy)
+    return model, params, cfg
+
+
+def predict_slice(image_slice, num_channels=1, num_classes=2,
+                  return_probabilities=False, root="."):
+    """Forward one (H, W) uint8 slice -> colored prediction (or (H,W,C) probs)."""
+    model, params, cfg = _load_model(root, num_channels, num_classes)
+    x = (np.asarray(image_slice)[None, :, :, None] / 255).astype("float32")
+    y_prob = np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
+    if return_probabilities:
+        return y_prob
+    y_pred = np.argmax(y_prob[0, :, :, :num_classes], axis=-1)
+    onehot = np.stack([y_pred == i for i in range(num_classes)], -1)
+    return C.categorical_to_colored((onehot * 255).astype("uint8"))
+
+
+def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30) -> int:
+    """Static batch-size choice: first-level activations dominate
+    (~input_size^2 * width * 4 bytes each); replaces the reference's
+    CUDA-OOM doubling probe with a deterministic estimate."""
+    per_slice = input_size * input_size * 64 * 4 * 8  # widthx4bytes, ~8 levels
+    bs = max(1, int(hbm_budget_bytes / per_slice))
+    # round down to a divisor of input_size so the device loop has no remainder
+    while input_size % bs:
+        bs -= 1
+    return bs
+
+
+def make_block_predictor(model, params, input_size: int, num_classes: int,
+                         batch_size: int | None = None,
+                         axes=(0, 1, 2), window=None):
+    """Returns a jit function: (S,S,S) float block -> (S,S,S,C) windowed
+    2.5D prediction (average over the requested axis sweeps)."""
+    S = input_size
+    bs = batch_size or _auto_batch_size(S)
+    window_d = (jnp.asarray(window)[..., None]
+                if window is not None else None)
+
+    def sweep(p, vol):
+        """Batched 2-D forward over axis 0 of ``vol`` -> (S,S,S,C)."""
+        def body(i, acc):
+            sl = jax.lax.dynamic_slice_in_dim(vol, i * bs, bs, 0)
+            pred = model.apply(p, sl[..., None])
+            return jax.lax.dynamic_update_slice_in_dim(acc, pred, i * bs, 0)
+
+        acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
+        return jax.lax.fori_loop(0, S // bs, body, acc)
+
+    def predict_block(p, block):
+        acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
+        if 0 in axes:
+            acc = acc + sweep(p, block)
+        if 1 in axes:
+            acc = acc + sweep(p, block.transpose(1, 0, 2)).transpose(1, 0, 2, 3)
+        if 2 in axes:
+            acc = acc + sweep(p, block.transpose(2, 0, 1)).transpose(1, 2, 0, 3)
+        acc = acc / len(axes)
+        if window_d is not None:
+            acc = acc * window_d
+        return acc
+
+    fn = jax.jit(predict_block)
+    return lambda block: fn(params, jnp.asarray(block, jnp.float32)), bs
+
+
+def predict_volumes(input_size=256, num_channels=1, num_classes=2,
+                    overlap=0.25, chunk_size=128, shard_size=256,
+                    batch_size=None, axes=(0, 1, 2), root=".",
+                    progress=None, ram_budget_bytes=64 << 30):
+    """Sliding-window inference over every data/image_volumes/*.zarr store."""
+    root = Path(root)
+    model, params, _ = _load_model(root, num_channels, num_classes)
+
+    volume_files = sorted(glob.glob(str(root / "data" / "image_volumes" / "*.zarr")))
+    window = blending.gaussian_3d(input_size, sigma=0.125)
+    predict_block, bs = make_block_predictor(
+        model, params, input_size, num_classes, batch_size, axes, window)
+
+    results = []
+    for f in volume_files:
+        start_time = time.time()
+        volume = storage.read_volume(f, level=0)
+        in_shape = np.array(volume.shape)
+        out_shape = tuple(in_shape.tolist()) + (num_classes,)
+
+        save_path = f.replace("image_volumes", "predicted_volumes")
+        out_root = storage.open(save_path, mode="w")
+        final = out_root.create_array(
+            name="0", shape=out_shape,
+            chunks=(chunk_size,) * 3 + (num_classes,),
+            shards=(shard_size,) * 3 + (num_classes,), dtype="uint8",
+            overwrite=True)
+
+        bytes_needed = int(np.prod(in_shape)) * (num_classes + 1) * 4
+        use_ram = bytes_needed <= ram_budget_bytes
+        if use_ram:
+            pred = np.zeros(out_shape, dtype=np.float32)
+            weight = np.zeros(tuple(in_shape), dtype=np.float32)
+        else:  # reference-style temp zarr accumulators (predict.py:183-199)
+            tmp = root / "temp"
+            pred = storage.open(tmp / "pred.zarr", mode="w").create_array(
+                name="0", shape=out_shape,
+                chunks=(chunk_size,) * 3 + (num_classes,),
+                shards=(shard_size,) * 3 + (num_classes,), dtype="float32",
+                overwrite=True)
+            weight = storage.open(tmp / "weight.zarr", mode="w").create_array(
+                name="0", shape=tuple(in_shape), chunks=(chunk_size,) * 3,
+                shards=(shard_size,) * 3, dtype="float32", overwrite=True)
+
+        block_coords, padded_coords, local_coords = \
+            blending.get_block_coordinates(in_shape, input_size, overlap)
+
+        win_np = np.asarray(window, dtype=np.float32)
+        for idx in range(len(padded_coords)):
+            pb = blending.get_padded_block(volume, *padded_coords[idx])
+            block_pred = np.asarray(
+                predict_block(pb.astype(np.float32) / 255.0))
+            i0, j0, k0, i1, j1, k1 = block_coords[idx]
+            li0, lj0, lk0, li1, lj1, lk1 = local_coords[idx]
+            if use_ram:
+                pred[i0:i1, j0:j1, k0:k1] += block_pred[li0:li1, lj0:lj1, lk0:lk1]
+                weight[i0:i1, j0:j1, k0:k1] += win_np[li0:li1, lj0:lj1, lk0:lk1]
+            else:
+                pred[i0:i1, j0:j1, k0:k1] = (
+                    pred[i0:i1, j0:j1, k0:k1]
+                    + block_pred[li0:li1, lj0:lj1, lk0:lk1])
+                weight[i0:i1, j0:j1, k0:k1] = (
+                    weight[i0:i1, j0:j1, k0:k1]
+                    + win_np[li0:li1, lj0:lj1, lk0:lk1])
+            if progress is not None:
+                progress(idx + 1, len(padded_coords))
+
+        # shard-aligned normalization + writeback (one write per shard file)
+        for (i0, j0, k0, i1, j1, k1) in blending.get_shard_coordinates(
+                in_shape, shard_size=shard_size):
+            p = pred[i0:i1, j0:j1, k0:k1]
+            w = weight[i0:i1, j0:j1, k0:k1]
+            final[i0:i1, j0:j1, k0:k1] = (
+                255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
+
+        if not use_ram:
+            shutil.rmtree(root / "temp", ignore_errors=True)
+
+        storage.add_multiscales(save_path, scale=0.5)
+        results.append({"volume": f, "seconds": time.time() - start_time,
+                        "blocks": len(padded_coords), "batch_size": bs})
+    return results

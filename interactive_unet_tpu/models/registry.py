@@ -1,0 +1,60 @@
+"""Architecture x encoder registry (reference unet.py:33-61 selection table).
+
+All 11 reference architectures are selectable by the same UI names.  Encoders
+come from encoders.ENCODER_BUILDERS; 'mit_b0' (the reference trainer default)
+selects the MiT transformer encoder.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import deeplab, fpn, linknet, pspnet, segformer, unet
+from .encoders import ENCODER_BUILDERS
+from .segformer import MiTEncoder
+
+ARCHITECTURES = [
+    "U-Net", "U-Net++", "FPN", "PSPNet", "DeepLabV3", "DeepLabV3+",
+    "LinkNet", "MA-Net", "PAN", "UPerNet", "Segformer",
+]
+
+ENCODERS = sorted(set(ENCODER_BUILDERS) | {"mit_b0"})
+
+_BUILDERS = {
+    "U-Net": unet.UNet,
+    "U-Net++": unet.UNetPlusPlus,
+    "FPN": fpn.FPN,
+    "PAN": fpn.PAN,
+    "PSPNet": pspnet.PSPNet,
+    "UPerNet": pspnet.UPerNet,
+    "DeepLabV3": deeplab.DeepLabV3,
+    "DeepLabV3+": deeplab.DeepLabV3Plus,
+    "LinkNet": linknet.LinkNet,
+    "MA-Net": linknet.MAnet,
+    "Segformer": segformer.Segformer,
+}
+
+
+def build_encoder(encoder_name: str, dtype=jnp.bfloat16):
+    if encoder_name == "mit_b0":
+        return MiTEncoder(dtype=dtype)
+    if encoder_name not in ENCODER_BUILDERS:
+        raise ValueError(
+            f"unknown encoder {encoder_name!r}; available: {ENCODERS}")
+    return ENCODER_BUILDERS[encoder_name](dtype)
+
+
+def build_model(architecture: str = "U-Net", encoder_name: str = "cnn_m",
+                num_channels: int = 1, num_classes: int = 2,
+                dtype=jnp.bfloat16, pretrained: bool = False):
+    """Build a flax module. ``pretrained`` is accepted for config parity but
+    initializes randomly (no TPU-native ImageNet source, SURVEY hard part #4).
+    """
+    del num_channels  # NHWC input channel count is inferred at init time
+    del pretrained
+    if architecture not in _BUILDERS:
+        raise ValueError(
+            f"unknown architecture {architecture!r}; available: {ARCHITECTURES}")
+    encoder = build_encoder(encoder_name, dtype=dtype)
+    return _BUILDERS[architecture](encoder=encoder, num_classes=num_classes,
+                                   dtype=dtype)

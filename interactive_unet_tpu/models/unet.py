@@ -1,0 +1,85 @@
+"""U-Net and U-Net++ decoders (capability of smp.Unet / smp.UnetPlusPlus,
+reference unet.py:33-36)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvNormAct, SCSE, upsample
+
+
+class SegmentationHead(nn.Module):
+    """1x1 conv to class logits + softmax probabilities in float32
+    (the loss suite consumes probabilities, reference unet.py:65-69)."""
+
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32)(
+            x.astype(jnp.float32))
+        return nn.softmax(x, axis=-1)
+
+
+class UNetDecoder(nn.Module):
+    widths: Sequence[int] = (256, 128, 64, 32)
+    use_scse: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats):
+        x = feats[-1]
+        skips = feats[:-1][::-1]  # deepest-first
+        for w, skip in zip(self.widths, skips):
+            x = upsample(x, 2)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ConvNormAct(w, dtype=self.dtype)(x)
+            x = ConvNormAct(w, dtype=self.dtype)(x)
+            if self.use_scse:
+                x = SCSE(dtype=self.dtype)(x)
+        return x
+
+
+class UNet(nn.Module):
+    encoder: nn.Module
+    num_classes: int = 2
+    decoder_widths: Sequence[int] = (256, 128, 64, 32)
+    use_scse: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = self.encoder(x.astype(self.dtype))
+        x = UNetDecoder(self.decoder_widths, use_scse=self.use_scse,
+                        dtype=self.dtype)(feats)
+        return SegmentationHead(self.num_classes)(x)
+
+
+class UNetPlusPlus(nn.Module):
+    """Nested dense skip pathways (smp.UnetPlusPlus capability)."""
+
+    encoder: nn.Module
+    num_classes: int = 2
+    decoder_widths: Sequence[int] = (256, 128, 64, 32)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = self.encoder(x.astype(self.dtype))
+        depth = len(feats)  # 5
+        # grid[i][j]: node at stride 2^i, column j; column 0 = encoder feats
+        grid = {(i, 0): feats[i] for i in range(depth)}
+        # widths indexed by row, deepest rows use larger widths
+        row_w = list(self.decoder_widths[::-1]) + [feats[-1].shape[-1]]
+        for j in range(1, depth):
+            for i in range(depth - j):
+                up = upsample(grid[(i + 1, j - 1)], 2)
+                cat = [grid[(i, k)].astype(up.dtype) for k in range(j)] + [up]
+                h = jnp.concatenate(cat, axis=-1)
+                h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
+                h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
+                grid[(i, j)] = h
+        return SegmentationHead(self.num_classes)(grid[(0, depth - 1)])
