@@ -1,0 +1,161 @@
+"""Volume binding: image volume + slicer + optional annotation volumes
+(reference volumedata.py:14-95, re-designed).
+
+Each VolumeData opens level '0' of a multiscale zarr store read-only and owns
+a Slicer.  With ``annotations=True`` it additionally loads the re-projected
+3-D mask/weight volumes and class-balanced origin candidates, enabling
+training-time reslice sampling.
+
+TPU addition: ``resident()`` uploads the whole volume once to device HBM as a
+flat float32 buffer; subsequent ``get_slice`` calls skip the host bounding-box
+fetch entirely and gather straight from HBM — the fast path for interactive
+scrolling and batched reslice sampling.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .. import storage
+from ..ops import colors as C
+from ..ops import resample
+from ..ops.slicer import Slicer
+
+
+class VolumeData:
+    def __init__(self, file, annotations: bool = False, root: str | Path = "."):
+        self.root = Path(root)
+        self.filename = os.path.splitext(os.path.basename(str(file)))[0]
+        self.image_volume = storage.read_volume(
+            self.root / "data" / "image_volumes" / f"{self.filename}.zarr",
+            level=0)
+        self.slicer = Slicer(self.image_volume.shape)
+        self._flat_dev = None
+        self._shape_dev = None
+
+        if annotations:
+            self.mask_volume = np.load(
+                self.root / "data" / "mask_volumes" / f"{self.filename}.npy")
+            self.weight_volume = np.load(
+                self.root / "data" / "weight_volumes" / f"{self.filename}.npy")
+            self.candidates, self.class_weights = \
+                self.slicer.get_origin_candidates(self.mask_volume)
+
+    # -- HBM-resident fast path --------------------------------------------
+
+    def resident(self):
+        """Upload the full volume to device HBM once (flat f32 buffer)."""
+        if self._flat_dev is None:
+            import jax.numpy as jnp
+
+            vol = np.asarray(self.image_volume[:, :, :], dtype=np.float32)
+            flat = vol.ravel()
+            bucket = resample._pow2_bucket(flat.size)
+            if bucket != flat.size:
+                flat = np.pad(flat, (0, bucket - flat.size))
+            self._flat_dev = jnp.asarray(flat)
+            self._shape_dev = jnp.asarray(vol.shape, dtype=jnp.int32)
+        return self
+
+    def get_slice_resident(self, axis=0, slice_width=256, order=1):
+        """Device-resident slice extraction (no host bbox fetch)."""
+        self.resident()
+        coords = self.slicer.get_interpolation_coords(slice_width)[axis]
+        out = resample.resample3d_device(
+            self._flat_dev, self._shape_dev,
+            np.asarray(coords, dtype=np.float32), order)
+        return np.asarray(out)
+
+    # -- annotation volume construction ------------------------------------
+
+    def build_annotation_volumes(self):
+        """Re-project every saved 2-D sample of this volume into 3-D mask and
+        train/val weight volumes (reference volumedata.py:33-66)."""
+        from PIL import Image
+
+        saved_state = self.slicer.to_dict()
+        shape = self.image_volume.shape
+        mask_volume = np.zeros(shape, dtype="uint8")
+        weight_volume = np.zeros((*shape, 2), dtype="uint8")
+
+        slice_files = sorted(glob.glob(
+            str(self.root / "data" / "train" / "slices" / "*.npy")))
+        for sf in slice_files:
+            slice_data = np.load(sf, allow_pickle=True).ravel()[0]
+            if slice_data["volume"] != self.filename:
+                continue
+            mask = np.asarray(Image.open(
+                sf.replace("slices", "masks").replace(".npy", ".tiff")))
+            w_train = np.asarray(Image.open(
+                sf.replace("slices", "weights").replace(".npy", ".tiff")))
+            w_val = np.asarray(Image.open(
+                sf.replace("slices", "weights").replace(".npy", ".tiff")
+                .replace("train", "val")))
+            mask = C.colored_to_class(mask)
+            self.slicer.from_dict(slice_data["slicer"])
+            mask_volume = self.slicer.update_volume(mask, mask_volume)
+            weight_volume[..., 0] = self.slicer.update_volume(
+                w_train, weight_volume[..., 0])
+            weight_volume[..., 1] = self.slicer.update_volume(
+                w_val, weight_volume[..., 1])
+
+        np.save(self.root / "data" / "mask_volumes" / f"{self.filename}.npy",
+                mask_volume)
+        np.save(self.root / "data" / "weight_volumes" / f"{self.filename}.npy",
+                weight_volume)
+        self.slicer.from_dict(saved_state)
+
+    # -- training-time reslice sampling ------------------------------------
+
+    def sample(self, weight_channel=0, slice_width=512, origin_shift_range=0.8,
+               sampling_mode="random", sampling_axis="random", order=1):
+        self.slicer.randomize(candidates=self.candidates,
+                              class_weights=self.class_weights,
+                              origin_shift_range=origin_shift_range,
+                              sampling_mode=sampling_mode,
+                              sampling_axis=sampling_axis)
+        image = self.slicer.get_slice(self.image_volume,
+                                      slice_width=slice_width, order=order)
+        mask = self.slicer.get_slice(self.mask_volume,
+                                     slice_width=slice_width, order=0)
+        weight = self.slicer.get_slice(self.weight_volume[..., weight_channel],
+                                       slice_width=slice_width, order=0)
+        return image, mask, weight
+
+    # -- slicer passthrough -------------------------------------------------
+
+    def randomize(self, candidates=None, class_weights=None,
+                  origin_shift_range=0.8, sampling_mode="random",
+                  sampling_axis="random"):
+        self.slicer.randomize(candidates=candidates, class_weights=class_weights,
+                              origin_shift_range=origin_shift_range,
+                              sampling_mode=sampling_mode,
+                              sampling_axis=sampling_axis)
+
+    def shift_origin(self, shift_amount=(0, 0, 0)):
+        self.slicer.shift_origin(shift_amount=shift_amount)
+
+    def get_slice(self, axis=0, slice_width=256, order=0):
+        if self._flat_dev is not None:
+            return self.get_slice_resident(axis, slice_width, order)
+        return self.slicer.get_slice(self.image_volume, axis=axis,
+                                     slice_width=slice_width, order=order)
+
+
+def load_dataset(annotations: bool = False, root: str | Path = "."):
+    """All image volumes in the workspace (reference utils.py:132-140)."""
+    files = sorted(glob.glob(
+        str(Path(root) / "data" / "image_volumes" / "*.zarr")))
+    return [VolumeData(f, annotations=annotations, root=root) for f in files]
+
+
+def build_annotation_volumes(dataset):
+    for i, vd in enumerate(dataset):
+        print(f"{i}/{len(dataset)} - Rebuilding annotation volumes for "
+              f"{vd.filename}")
+        vd.build_annotation_volumes()
+    print("Rebuilding complete.")

@@ -1,0 +1,61 @@
+"""Few-shot suggestor: single-color shortcut, 2-class fit quality, warm-start
+caching (reference suggestor.py semantics)."""
+
+import numpy as np
+import pytest
+
+from interactive_unet_tpu.engine.suggestor import Suggestor, make_suggestions
+from interactive_unet_tpu.ops import colors as C
+
+
+def test_single_class_constant(rng):
+    mask = np.zeros((32, 32, 3), np.uint8)
+    mask[4:8, 4:8] = C.COLORS[2]
+    img = rng.random((32, 32)).astype(np.float32)
+    suggestion, model = make_suggestions(img, mask)
+    assert suggestion.shape == (32, 32, 3)
+    np.testing.assert_array_equal(suggestion[0, 0], C.COLORS[2])
+    np.testing.assert_array_equal(suggestion[-1, -1], C.COLORS[2])
+
+
+def test_no_annotation_returns_none(rng):
+    mask = np.zeros((32, 32, 3), np.uint8)
+    img = rng.random((32, 32)).astype(np.float32)
+    suggestion, _ = make_suggestions(img, mask)
+    assert suggestion is None
+
+
+def test_two_class_fit_separates(rng):
+    """A linearly-separable slice should be segmented correctly after the
+    30-step fit."""
+    s = 64
+    img = np.zeros((s, s), np.float32)
+    img[:, s // 2:] = 1.0
+    mask = np.zeros((s, s, 3), np.uint8)
+    mask[8:24, 8:16] = C.COLORS[1]      # stroke on dark side
+    mask[8:24, 48:56] = C.COLORS[2]     # stroke on bright side
+
+    sug = Suggestor(num_channels=1, num_classes=2, steps=60, lr=3e-3, seed=0)
+    suggestion, sug = sug.make_suggestions(img, mask)
+
+    left = suggestion[:, : s // 2 - 4]
+    right = suggestion[:, s // 2 + 4:]
+    left_ok = (left == C.COLORS[1]).all(-1).mean()
+    right_ok = (right == C.COLORS[2]).all(-1).mean()
+    assert left_ok > 0.7, f"left accuracy {left_ok}"
+    assert right_ok > 0.7, f"right accuracy {right_ok}"
+
+
+def test_warm_start_reuses_params(rng):
+    s = 32
+    img = rng.random((s, s)).astype(np.float32)
+    mask = np.zeros((s, s, 3), np.uint8)
+    mask[2:6, 2:6] = C.COLORS[1]
+    mask[20:24, 20:24] = C.COLORS[2]
+    sug = Suggestor(num_channels=1, num_classes=2, steps=5, seed=0)
+    _, sug = sug.make_suggestions(img, mask)
+    p1 = sug.params
+    _, sug = sug.make_suggestions(img, mask)
+    assert sug.params is not None and p1 is not None
+    # same compiled function object reused (no rebuild)
+    assert sug._fit_fn is not None
