@@ -48,26 +48,21 @@ class VolumeData:
     # -- HBM-resident fast path --------------------------------------------
 
     def resident(self):
-        """Upload the full volume to device HBM once (flat f32 buffer)."""
+        """Pack the full volume into device HBM once (ops.fastslice layout:
+        one row-gather per sample instead of 8 scalar gathers)."""
         if self._flat_dev is None:
-            import jax.numpy as jnp
+            from ..ops.fastslice import PackedVolume
 
-            vol = np.asarray(self.image_volume[:, :, :], dtype=np.float32)
-            flat = vol.ravel()
-            bucket = resample._pow2_bucket(flat.size)
-            if bucket != flat.size:
-                flat = np.pad(flat, (0, bucket - flat.size))
-            self._flat_dev = jnp.asarray(flat)
-            self._shape_dev = jnp.asarray(vol.shape, dtype=jnp.int32)
+            self._flat_dev = PackedVolume(
+                np.asarray(self.image_volume[:, :, :]))
         return self
 
     def get_slice_resident(self, axis=0, slice_width=256, order=1):
         """Device-resident slice extraction (no host bbox fetch)."""
         self.resident()
-        coords = self.slicer.get_interpolation_coords(slice_width)[axis]
-        out = resample.resample3d_device(
-            self._flat_dev, self._shape_dev,
-            np.asarray(coords, dtype=np.float32), order)
+        out = self._flat_dev.extract_slicer(self.slicer, axis=axis,
+                                            slice_width=slice_width,
+                                            order=order)
         return np.asarray(out)
 
     # -- annotation volume construction ------------------------------------
