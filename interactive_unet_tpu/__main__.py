@@ -1,0 +1,75 @@
+"""CLI entry point (the reference's console script is broken — pyproject
+declares `interactive_unet:app` against an empty __init__; SURVEY §7 known
+defects.  This one works: `interactive-unet-tpu app` serves the UI).
+
+Subcommands:
+  app              serve the web UI (default)
+  train            one training run (used by the UI's worker process)
+  predict-volumes  full-volume sliding-window inference
+  example-data     synthesize the bundled example volume
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    parser = argparse.ArgumentParser(prog="interactive-unet-tpu")
+    sub = parser.add_subparsers(dest="cmd")
+
+    p_app = sub.add_parser("app", help="serve the interactive web UI")
+    p_app.add_argument("--root", default=".")
+    p_app.add_argument("--port", type=int, default=None)
+    p_app.add_argument("--resident", action="store_true",
+                       help="keep volumes HBM-resident (fast slicing)")
+
+    p_train = sub.add_parser("train", help="run one training job")
+    p_train.add_argument("--kwargs", required=True,
+                         help="JSON dict of trainer.train_model kwargs")
+
+    p_pred = sub.add_parser("predict-volumes")
+    p_pred.add_argument("--root", default=".")
+    p_pred.add_argument("--input-size", type=int, default=256)
+    p_pred.add_argument("--num-classes", type=int, default=2)
+    p_pred.add_argument("--batch-size", type=int, default=None)
+
+    p_ex = sub.add_parser("example-data")
+    p_ex.add_argument("--root", default=".")
+    p_ex.add_argument("--size", type=int, default=256)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd in (None, "app"):
+        from .session.app import main as app_main
+
+        app_main(root=getattr(args, "root", "."),
+                 port=getattr(args, "port", None),
+                 resident=getattr(args, "resident", False))
+    elif args.cmd == "train":
+        from .engine.trainer import train_model
+
+        kwargs = json.loads(args.kwargs)
+        result = train_model(**kwargs)
+        print(json.dumps({"best_val_loss": result["best_val_loss"]}))
+    elif args.cmd == "predict-volumes":
+        from .engine.predict import predict_volumes
+
+        res = predict_volumes(input_size=args.input_size,
+                              num_classes=args.num_classes,
+                              batch_size=args.batch_size, root=args.root)
+        print(json.dumps(res))
+    elif args.cmd == "example-data":
+        from .session.state import make_example_data
+
+        make_example_data(args.root, size=args.size)
+        print("example volume created")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,220 @@
+"""Web UI (L6) — aiohttp server around SessionState.
+
+Replaces the reference's NiceGUI app (reference app.py) with a dependency-
+light single-page client (session/client.html): a 700x700 paint canvas with
+the same interaction grammar (left=paint, right=background, ctrl=capture
+overlay, shift=pan/zoom, wheel=brush, Ctrl+S save, Space/Q/A navigation,
+C/V class cycle, D/F overlay toggles, Ctrl+Z/Y undo/redo — README.md:23-44),
+a left config panel, and a live training plot.
+
+Process/thread model mirrors the reference exactly (SURVEY §1): training runs
+in a separate *process* (`python -m interactive_unet_tpu train ...`) and
+communicates through the filesystem (model/model.ckpt + metrics.csv);
+suggestor and slice-predict run in single-flight daemon threads.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import io
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .state import SessionState
+
+CLIENT_HTML = Path(__file__).with_name("client.html")
+
+
+def _png(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False):
+    from aiohttp import web
+
+    state = SessionState(root=root, canvas_size=canvas_size,
+                         resident=resident)
+    app = web.Application()
+    train_proc: dict = {"proc": None}
+
+    async def index(request):
+        return web.Response(text=CLIENT_HTML.read_text(),
+                            content_type="text/html")
+
+    async def frame(request):
+        return web.Response(body=_png(state.frame()),
+                            content_type="image/png")
+
+    async def status(request):
+        s = state.status()
+        proc = train_proc["proc"]
+        if proc is not None:
+            if proc.poll() is None:
+                s["training"] = True
+            else:
+                train_proc["proc"] = None
+                state.training = False
+        return web.json_response(s)
+
+    async def overlay_svg(request):
+        return web.Response(text=state.annotator.get_current_path_overlay(),
+                            content_type="image/svg+xml")
+
+    async def history(request):
+        metric = request.query.get("metric", "Loss")
+        return web.json_response(state.history_figure(metric))
+
+    async def event(request):
+        """Mouse/keyboard wire protocol."""
+        e = await request.json()
+        kind = e.get("type")
+        if kind == "stroke":
+            state.brush_size = float(e.get("brush", state.brush_size))
+            mode = e.get("mode", "paint")
+            if e.get("background"):
+                prev = state.color_idx
+                state.color_idx = 0
+                state.stroke(e["points"], mode=mode, overlay=state.overlay)
+                state.color_idx = prev
+            else:
+                state.stroke(e["points"], mode=mode, overlay=state.overlay)
+            if e.get("suggest", True):
+                state.run_suggestor()
+        elif kind == "pan":
+            state.annotator.translate(e["x0"], e["y0"], e["x1"], e["y1"])
+        elif kind == "zoom":
+            if e["delta"] < 0:
+                state.annotator.zoom_in(e["x"], e["y"])
+            else:
+                state.annotator.zoom_out(e["x"], e["y"])
+        elif kind == "key":
+            _handle_key(state, e)
+        return web.json_response({"ok": True})
+
+    def _handle_key(state: SessionState, e):
+        key = e.get("key")
+        ctrl = e.get("ctrl", False)
+        if ctrl and key == "s":
+            state.save_sample()
+        elif ctrl and key == "z":
+            state.undo()
+        elif ctrl and key == "y":
+            state.redo()
+        elif key == " ":
+            state.randomize()
+        elif key == "q":
+            state.shift_origin([1, 0, 0])
+        elif key == "a":
+            state.shift_origin([-1, 0, 0])
+        elif key == "c":
+            state.next_class()
+        elif key == "v":
+            state.prev_class()
+        elif key == "d":
+            state.overlay = None if state.overlay else "model_predictions"
+        elif key == "f":
+            keys = list(state.annotator.overlays)
+            if keys:
+                try:
+                    i = keys.index(state.overlay)
+                    state.overlay = keys[(i + 1) % len(keys)]
+                except ValueError:
+                    state.overlay = keys[0]
+
+    async def action(request):
+        a = await request.json()
+        name = a.get("name")
+        if name == "randomize":
+            state.randomize()
+        elif name == "save_sample":
+            try:
+                state.save_sample()
+            except ValueError as err:
+                return web.json_response({"ok": False, "error": str(err)})
+        elif name == "train":
+            if train_proc["proc"] is None or train_proc["proc"].poll() is not None:
+                state.save_model_details()
+                kwargs = state.train_kwargs()
+                train_proc["proc"] = subprocess.Popen(
+                    [sys.executable, "-m", "interactive_unet_tpu", "train",
+                     "--kwargs", json.dumps(kwargs)],
+                    cwd=str(state.root))
+                state.training = True
+        elif name == "predict_slice":
+            state.predict_slice_async()
+        elif name == "predict_volumes":
+            loop = asyncio.get_event_loop()
+            state.predicting = True
+
+            def run():
+                from ..engine import predict as pe
+                try:
+                    pe.predict_volumes(input_size=state.input_size,
+                                       num_classes=state.num_classes,
+                                       root=state.root)
+                finally:
+                    state.predicting = False
+
+            loop.run_in_executor(None, run)
+        elif name == "clear_annotations":
+            state.clear_annotations()
+        elif name == "clear_model":
+            state.clear_model()
+        elif name == "reset_all":
+            state.reset_all()
+        elif name == "set":
+            for k, v in a.get("values", {}).items():
+                if k in ("num_classes", "input_size") and state.train_samples:
+                    continue  # locked once samples exist (app.py:442-443)
+                if k == "num_classes":
+                    state.num_classes = int(v)
+                elif k == "input_size":
+                    state.input_size = int(v)
+                    state.randomize()
+                elif k == "brush_size":
+                    state.brush_size = float(v)
+                elif k == "color_idx":
+                    state.color_idx = int(v)
+                elif k == "annotation_opacity":
+                    state.annotation_opacity = float(v)
+                elif k == "overlay_opacity":
+                    state.overlay_opacity = float(v)
+                elif k == "sampling_mode":
+                    state.sampling_mode = str(v)
+                elif k == "sampling_axis":
+                    state.sampling_axis = str(v)
+                elif hasattr(state.train_config, k):
+                    setattr(state.train_config, k, type(
+                        getattr(state.train_config, k))(v))
+        return web.json_response({"ok": True, "status": state.status()})
+
+    app.router.add_get("/", index)
+    app.router.add_get("/frame.png", frame)
+    app.router.add_get("/status", status)
+    app.router.add_get("/overlay.svg", overlay_svg)
+    app.router.add_get("/history", history)
+    app.router.add_post("/event", event)
+    app.router.add_post("/action", action)
+    app["state"] = state
+    return app
+
+
+def main(root: str = ".", port: int | None = None, resident: bool = False):
+    from aiohttp import web
+
+    port = port or int(np.random.randint(20000, 40000))
+    app = build_app(root=root, resident=resident)
+    print(f"interactive_unet_tpu running on http://localhost:{port}")
+    web.run_app(app, port=port)
+
+
+if __name__ == "__main__":
+    main()

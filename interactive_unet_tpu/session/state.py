@@ -1,0 +1,280 @@
+"""Headless interactive-session core (the testable heart of the web app).
+
+Mirrors the reference's InteractiveSegmentationTool behavior
+(reference app.py:28-788) without any UI framework: current volume/slice
+state, annotator, overlays, stroke handling, save-sample flow, train /
+predict / suggestor dispatch.  The aiohttp layer in session.app is a thin
+wire protocol around this class, so every interaction is unit-testable.
+
+Threading model (reference parity, SURVEY §1): training runs in a separate
+*process* (filesystem is the contract), suggestor and slice-predict run in
+daemon threads guarded by single-flight flags (app.py:738, 753-778).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..config import TrainConfig
+from ..engine import predict as predict_engine
+from ..engine import samples
+from ..engine.history import get_training_history_figure
+from ..engine.suggestor import Suggestor
+from ..ops import colors as C
+from .annotator import Annotator
+from .volumedata import load_dataset
+
+
+class SessionState:
+    def __init__(self, root: str | Path = ".", canvas_size: int = 700,
+                 resident: bool = False):
+        self.root = Path(root)
+        self.canvas_size = canvas_size
+        self.resident = resident
+
+        samples.create_directories(self.root)
+        if not glob.glob(str(self.root / "data" / "image_volumes" / "*.zarr")):
+            make_example_data(self.root)
+
+        self.dataset = load_dataset(root=self.root)
+        self.volume_index = 0
+
+        self.train_samples = glob.glob(
+            str(self.root / "data" / "train" / "images" / "*.tiff"))
+        self.num_classes = samples.get_num_classes(self.root)
+        self.input_size = samples.get_input_size(self.root)
+
+        self.annotator = Annotator(canvas_size)
+        self.image_slice = None
+
+        # UI-equivalent settings (reference app.py:158-227)
+        self.color_idx = 1
+        self.brush_size = 40
+        self.annotation_opacity = 0.25
+        self.overlay_opacity = 0.25
+        self.overlay = None
+        self.sampling_mode = "random"   # 'random' | 'grid'
+        self.sampling_axis = "random"
+        self.train_config = TrainConfig()
+
+        self.training = False
+        self.predicting = False
+        self.suggesting = False
+        self.suggestor_model: Suggestor | None = None
+
+        self._details_path = self.root / "model" / "model_details.json"
+        if self._details_path.is_file():
+            self.train_config = TrainConfig.from_json(
+                self._details_path.read_text())
+
+        self.randomize()
+
+    # -- slice navigation ----------------------------------------------------
+
+    @property
+    def image_features(self):
+        return (self.image_slice / 255).astype("float32")
+
+    def _refresh_slice(self):
+        vd = self.dataset[self.volume_index]
+        if self.resident:
+            vd.resident()
+        self.image_slice = vd.get_slice(
+            slice_width=self.input_size, order=1).astype("uint8")
+        self.annotator.set_image(
+            np.repeat(self.image_slice[:, :, None], 3, axis=2))
+        self.suggestor_model = None
+
+    def randomize(self):
+        if not self.dataset:
+            return
+        self.volume_index = int(np.random.randint(len(self.dataset)))
+        self.dataset[self.volume_index].randomize(
+            sampling_mode=self.sampling_mode, sampling_axis=self.sampling_axis)
+        self._refresh_slice()
+
+    def shift_origin(self, amount):
+        self.dataset[self.volume_index].shift_origin(shift_amount=amount)
+        self._refresh_slice()
+
+    # -- painting ------------------------------------------------------------
+
+    def color_rgb(self) -> str:
+        c = C.COLORS[self.color_idx]
+        return f"rgb({c[0]},{c[1]},{c[2]})"
+
+    def stroke(self, points, mode: str = "paint", overlay: str | None = None):
+        """Apply a full stroke: list of (x, y) canvas points."""
+        if len(points) == 0:
+            return
+        x0, y0 = points[0]
+        self.annotator.new_path(x0, y0, self.brush_size, self.color_rgb(),
+                                mode=mode, overlay=overlay)
+        prev = points[0]
+        for p in points[1:]:
+            self.annotator.continue_path(prev[0], prev[1], p[0], p[1],
+                                         self.brush_size, self.color_rgb(),
+                                         mode=mode, overlay=overlay)
+            prev = p
+        self.annotator.apply_current_path()
+
+    def undo(self):
+        self.annotator.undo_annotation()
+
+    def redo(self):
+        self.annotator.redo_annotation()
+
+    def next_class(self):
+        self.color_idx += 1
+        if self.color_idx == self.num_classes + 1:
+            self.color_idx = 1
+
+    def prev_class(self):
+        self.color_idx -= 1
+        if self.color_idx == 0:
+            self.color_idx = self.num_classes
+
+    # -- display -------------------------------------------------------------
+
+    def frame(self) -> np.ndarray:
+        """Current composited ROI frame (canvas_size^2 RGB)."""
+        self.annotator.update_display(
+            annotation_opacity=self.annotation_opacity,
+            overlay_opacity=self.overlay_opacity, overlay=self.overlay)
+        return self.annotator.get_roi_image()
+
+    # -- persistence ---------------------------------------------------------
+
+    def save_sample(self):
+        if (len(self.train_samples) == 0
+                and self.annotator.get_num_unique_colors() != self.num_classes):
+            raise ValueError(
+                f"The first sample must annotate every class: "
+                f"{self.num_classes} classes configured, only "
+                f"{self.annotator.get_num_unique_colors()} annotated.")
+        vd = self.dataset[self.volume_index]
+        slice_data = {"volume": vd.filename, "slicer": vd.slicer.to_dict()}
+        samples.save_sample(self.image_slice, self.annotator.mask, slice_data,
+                            self.num_classes, root=self.root)
+        self.train_samples = glob.glob(
+            str(self.root / "data" / "train" / "images" / "*.tiff"))
+        self.randomize()
+
+    def clear_annotations(self):
+        samples.clear_annotations(self.root)
+        self.train_samples = []
+        self.annotator.reset()
+
+    def clear_model(self):
+        samples.clear_model(self.root)
+
+    def reset_all(self):
+        samples.reset_all(self.root)
+        self.train_samples = []
+        self.annotator.reset()
+
+    # -- engine dispatch -----------------------------------------------------
+
+    def train_kwargs(self) -> dict:
+        cfg = self.train_config
+        return dict(lr=cfg.lr, batch_size=cfg.batch_size, epochs=cfg.epochs,
+                    num_channels=1, num_classes=self.num_classes,
+                    loss_function_name=cfg.loss_function_name,
+                    architecture=cfg.architecture,
+                    encoder_name=cfg.encoder_name, pretrained=cfg.pretrained,
+                    root=str(self.root))
+
+    def save_model_details(self):
+        self._details_path.parent.mkdir(parents=True, exist_ok=True)
+        self._details_path.write_text(self.train_config.to_json())
+
+    def predict_slice(self):
+        """Synchronous slice prediction -> stores overlay."""
+        colored = predict_engine.predict_slice(
+            self.image_slice, num_classes=self.num_classes, root=self.root)
+        self.annotator.overlays["model_predictions"] = colored
+        self.overlay = "model_predictions"
+        return colored
+
+    def predict_slice_async(self):
+        if self.predicting:
+            return False
+        self.predicting = True
+
+        def run():
+            try:
+                self.predict_slice()
+            finally:
+                self.predicting = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
+    def run_suggestor(self):
+        """Per-stroke few-shot suggestion (single-flight, reference
+        app.py:753-778)."""
+        if self.suggesting:
+            return False
+        self.suggesting = True
+
+        def run():
+            try:
+                if self.suggestor_model is None:
+                    self.suggestor_model = Suggestor(num_channels=1,
+                                                     num_classes=2)
+                suggestion, model = self.suggestor_model.make_suggestions(
+                    self.image_features, self.annotator.mask)
+                self.suggestor_model = model
+                if suggestion is not None:
+                    self.annotator.overlays["live_suggestions"] = suggestion
+                    self.overlay = "live_suggestions"
+            finally:
+                self.suggesting = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
+    def history_figure(self, metric: str = "Loss") -> dict:
+        return get_training_history_figure(metric, self.root)
+
+    def status(self) -> dict:
+        return {
+            "num_classes": self.num_classes,
+            "input_size": self.input_size,
+            "num_volumes": len(self.dataset),
+            "num_samples": len(self.train_samples),
+            "color_idx": self.color_idx,
+            "brush_size": self.brush_size,
+            "training": self.training,
+            "predicting": self.predicting,
+            "suggesting": self.suggesting,
+            "overlay": self.overlay,
+            "sampling_mode": self.sampling_mode,
+            "volume": (self.dataset[self.volume_index].filename
+                       if self.dataset else None),
+            "locked": len(self.train_samples) > 0,
+        }
+
+
+def make_example_data(root: str | Path, size: int = 256, seed: int = 0):
+    """Bundled example volume (reference downloads one, utils.py:100-119;
+    this environment has no egress, so synthesize a structured phantom:
+    blobs + rods in noise)."""
+    from scipy import ndimage as ndi
+    from .. import storage
+
+    rng = np.random.default_rng(seed)
+    vol = rng.normal(0, 1, (size, size, size)).astype(np.float32)
+    vol = ndi.gaussian_filter(vol, size / 32)
+    vol = (vol > np.percentile(vol, 70)).astype(np.float32)
+    vol = ndi.gaussian_filter(vol, 2) * 180 + 40
+    vol += rng.normal(0, 6, vol.shape)
+    vol = np.clip(vol, 1, 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, Path(root) / "data" / "image_volumes" / "example_volume.zarr")

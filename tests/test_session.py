@@ -1,0 +1,132 @@
+"""Session core: stroke->save->status flow headless, plus HTTP wire smoke
+(reference app.py interaction grammar)."""
+
+import numpy as np
+import pytest
+
+from interactive_unet_tpu import storage
+from interactive_unet_tpu.engine import samples
+from interactive_unet_tpu.ops import colors as C
+
+
+@pytest.fixture()
+def tiny_ws(tmp_path):
+    """Workspace with a small volume so SessionState skips example synth."""
+    samples.create_directories(tmp_path)
+    rng = np.random.default_rng(0)
+    vol = (rng.random((48, 48, 48)) * 254 + 1).astype(np.uint8)
+    storage.create_multiscale_zarr(vol, tmp_path / "data" / "image_volumes" /
+                                   "tiny.zarr", chunk_size=16, shard_size=32)
+    return tmp_path
+
+
+def _mk_state(tiny_ws, **kw):
+    from interactive_unet_tpu.session.state import SessionState
+
+    st = SessionState(root=tiny_ws, canvas_size=64, **kw)
+    st.input_size = 48
+    st.randomize()
+    return st
+
+
+def test_state_basic_flow(tiny_ws):
+    st = _mk_state(tiny_ws)
+    assert st.image_slice.shape == (48, 48)
+    s = st.status()
+    assert s["num_volumes"] == 1 and s["num_samples"] == 0
+    frame = st.frame()
+    assert frame.shape == (64, 64, 3)
+
+
+def test_stroke_and_save(tiny_ws):
+    st = _mk_state(tiny_ws)
+    st.brush_size = 20
+    st.color_idx = 1
+    st.stroke([(10, 10), (50, 50)])
+    st.color_idx = 2
+    st.stroke([(50, 10), (10, 50)])
+    assert st.annotator.get_num_unique_colors() == 2
+    st.save_sample()
+    assert st.status()["num_samples"] == 1
+    assert st.status()["locked"]
+    # saved sample loads through the training loader
+    ann = samples.load_annotations("train", tiny_ws)
+    assert len(ann) == 1
+    assert ann[0][1].shape[-1] == 2
+
+
+def test_first_save_requires_all_classes(tiny_ws):
+    st = _mk_state(tiny_ws)
+    st.stroke([(10, 10), (20, 20)])  # only one class annotated
+    with pytest.raises(ValueError):
+        st.save_sample()
+
+
+def test_class_cycling(tiny_ws):
+    st = _mk_state(tiny_ws)
+    st.num_classes = 3
+    st.color_idx = 1
+    st.next_class()
+    assert st.color_idx == 2
+    st.next_class()
+    assert st.color_idx == 3
+    st.next_class()
+    assert st.color_idx == 1
+    st.prev_class()
+    assert st.color_idx == 3
+
+
+def test_shift_origin_changes_slice(tiny_ws):
+    st = _mk_state(tiny_ws)
+    before = st.image_slice.copy()
+    st.shift_origin([5, 0, 0])
+    assert not np.array_equal(before, st.image_slice)
+
+
+def test_example_data_synth(tmp_path):
+    from interactive_unet_tpu.session.state import make_example_data
+
+    samples.create_directories(tmp_path)
+    make_example_data(tmp_path, size=32)
+    vol = storage.read_volume(
+        tmp_path / "data" / "image_volumes" / "example_volume.zarr")
+    assert vol.shape == (32, 32, 32)
+    data = vol[:, :, :]
+    assert data.std() > 10  # structured, not constant
+
+
+def test_http_wire(tiny_ws):
+    import asyncio
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        app["state"].input_size = 48
+        app["state"].randomize()
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/")
+            assert r.status == 200 and "canvas" in await r.text()
+            r = await client.get("/frame.png")
+            assert r.status == 200 and r.content_type == "image/png"
+            r = await client.get("/status")
+            s = await r.json()
+            assert s["num_volumes"] == 1
+            r = await client.post("/event", json={
+                "type": "stroke", "points": [[5, 5], [30, 30]], "brush": 10,
+                "mode": "paint", "background": False, "suggest": False})
+            assert (await r.json())["ok"]
+            assert app["state"].annotator.mask.sum() > 0
+            r = await client.post("/event", json={"type": "key", "key": " "})
+            assert r.status == 200
+            r = await client.get("/history?metric=Loss")
+            fig = await r.json()
+            assert "data" in fig and "layout" in fig
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
