@@ -1,0 +1,72 @@
+"""Training-set assembly: saved samples + optional on-the-fly reslicing
+(reference loader.py:15-101).
+
+``load_resliced_annotations`` re-slices the 3-D annotation volumes (built by
+VolumeData.build_annotation_volumes from saved 2-D samples) at random
+orientations with class-balanced origins, yielding unlimited augmented
+training data.  Note: the reference's reslice path is wired but defective —
+it swaps class_to_categorical arguments (loader.py:60 vs utils.py:370) and
+UNetDataset never indexes the resliced list (loader.py:138-154).  This
+implementation actually works; the argument order follows utils.py:370.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..ops import colors as C
+from . import samples
+from ..session.volumedata import load_dataset
+
+
+def load_resliced_annotations(set_type: str = "train", count: int = 100,
+                              num_classes: int = 2, root: str | Path = ".",
+                              slice_width: int = 512, rng=None,
+                              max_tries: int = 20):
+    """Sample ``count`` random oriented slices from annotation volumes."""
+    rng = rng or np.random.default_rng()
+    dataset = load_dataset(annotations=True, root=root)
+    if not dataset:
+        return []
+    weight_channel = 0 if set_type == "train" else 1
+
+    annotations = []
+    for _ in range(count):
+        for _ in range(max_tries):  # rejection loop (reference loader.py:62-68)
+            vol_idx = int(rng.integers(len(dataset)))
+            image, mask, weight = dataset[vol_idx].sample(
+                weight_channel=weight_channel, slice_width=slice_width)
+            if weight.max() == 255 and mask.max() > 0:
+                break
+        cat = C.class_to_categorical(mask, num_classes,
+                                     (weight > 0).astype(mask.dtype))
+        image = image[:, :, None] if image.ndim == 2 else image
+        weight3 = np.repeat(weight[:, :, None], num_classes, axis=2)
+
+        image = (image / 255).astype("float32")
+        cat = cat.astype("float32") * 255  # one-hot {0,255} like saved masks
+        cat = (cat / 255).astype("float32")
+        weight3 = (weight3 / 255).astype("float32")
+
+        void = image[:, :, 0] == 0
+        cat[void] = 0.0
+        weight3[void] = 0.0
+        annotations.append((image, cat, weight3))
+    return annotations
+
+
+def assemble_training_set(set_type: str = "train", num_classes: int = 2,
+                          reslice: bool = False, reslice_factor: int = 2,
+                          root: str | Path = ".", rng=None):
+    """Saved annotations (+ resliced extras when enabled) as one list."""
+    annotations = samples.load_annotations(set_type, root)
+    if reslice and annotations:
+        slice_width = annotations[0][0].shape[0]
+        extra = load_resliced_annotations(
+            set_type, count=reslice_factor * len(annotations),
+            num_classes=num_classes, root=root, slice_width=slice_width,
+            rng=rng)
+        annotations = annotations + extra
+    return annotations

@@ -109,10 +109,12 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                 root=".", mesh=None, seed=0, progress=None,
                 reslice=False, reslice_factor=2):
     """One-shot (re)training run. Returns the history dict of the run."""
-    del reslice, reslice_factor  # reference reslice path is off by default
     root = Path(root)
 
-    train_ann = samples.load_annotations("train", root)
+    from .loader import assemble_training_set
+
+    train_ann = assemble_training_set("train", num_classes, reslice,
+                                      reslice_factor, root)
     val_ann = samples.load_annotations("val", root)
     if not train_ann:
         raise RuntimeError("no training samples saved yet")

@@ -59,15 +59,31 @@ def get_unique_colors(colored_mask: np.ndarray) -> np.ndarray:
     return COLORS[present]
 
 
+_NATIVE = None
+try:
+    from ..native import nativelib as _nl
+
+    if _nl.available():
+        _NATIVE = _nl
+except Exception:  # pragma: no cover
+    pass
+
+
 def colored_to_categorical(colored_mask: np.ndarray):
     """RGB mask -> (one-hot[..., 1:], weight) in uint8 {0,255}.
 
-    Vectorized equivalent of the reference numba kernel: each pixel is matched
-    against the colors *present* in this mask; channel 0 (the first present
-    palette color, normally black background) becomes the weight complement.
+    Equivalent of the reference numba kernel (utils.py:325-349): each pixel is
+    matched against the colors *present* in this mask (first match wins);
+    channel 0 (the first present palette color, normally black background)
+    becomes the weight complement.  Uses the native C++ decoder when built,
+    vectorized numpy otherwise.
     """
     h, w, _ = colored_mask.shape
     unique_colors = get_unique_colors(colored_mask)
+    if _NATIVE is not None:
+        onehot, weight = _NATIVE.colored_to_categorical(colored_mask,
+                                                        unique_colors)
+        return onehot[:, :, 1:], weight
     keys = _rgb_keys(colored_mask)  # (h*w,)
     color_keys = (
         (unique_colors[:, 0].astype(np.uint32) << 16)

@@ -21,6 +21,15 @@ from scipy import ndimage
 
 from . import zarr3
 
+_NATIVE = None
+try:
+    from ..native import nativelib as _nl
+
+    if _nl.available():
+        _NATIVE = _nl
+except Exception:  # pragma: no cover
+    pass
+
 
 def read_volume(path, level: int = 0) -> zarr3.Array:
     root = zarr3.open_group(path, mode="r")
@@ -46,7 +55,12 @@ def resize_volume(src_vol, dst_vol, scale: float = 0.5, block_size: int = 512,
                 t_k0, t_k1 = int(k0 * scale), int(k1 * scale)
                 block = src_vol[i0:i1, j0:j1, k0:k1]
                 if block.ndim == 3:
-                    zoomed = ndimage.zoom(block, scale, order=order)
+                    out_shape = (t_i1 - t_i0, t_j1 - t_j0, t_k1 - t_k0)
+                    if (_NATIVE is not None and order == 0
+                            and block.dtype == np.uint8):
+                        zoomed = _NATIVE.downsample0_u8(block, out_shape)
+                    else:
+                        zoomed = ndimage.zoom(block, scale, order=order)
                     dst_vol[t_i0:t_i1, t_j0:t_j1, t_k0:t_k1] = zoomed
                 else:  # trailing channel axis (predicted volumes): keep channels
                     zoomed = ndimage.zoom(block, (scale, scale, scale, 1), order=order)

@@ -76,10 +76,13 @@ def _crc32c_numpy(data: bytes) -> int:
     return crc32c(data)
 
 
+_NATIVE = None
 try:  # optional native acceleration (built by interactive_unet_tpu/native)
     from ..native import nativelib as _native
 
     if _native.available():
+        _NATIVE = _native
+
         def crc32c(data: bytes) -> int:  # noqa: F811
             return _native.crc32c(data)
 except Exception:  # pragma: no cover
@@ -278,11 +281,27 @@ class Array:
         """shard bytes -> {inner_idx_tuple: ndarray}"""
         idx = self._read_shard_index(data)
         grid = self._inner_grid()
+        inners = [(flat, inner) for flat, inner in enumerate(
+            itertools.product(*[range(g) for g in grid]))
+            if int(idx[flat, 0]) != _MISSING]
+        if not inners:
+            return {}
+        if _NATIVE is not None and self._compress:
+            # batched native zstd decode (one call, threaded in C++)
+            blobs = [data[int(idx[f, 0]):int(idx[f, 0]) + int(idx[f, 1])]
+                     for f, _ in inners]
+            nbytes = math.prod(self.chunks) * self.dtype.itemsize
+            raw = _NATIVE.zstd_decompress_batch(blobs, nbytes)
+            out = {}
+            for row, (_, inner) in enumerate(inners):
+                out[inner] = np.frombuffer(
+                    raw[row].tobytes(),
+                    dtype=self.dtype.newbyteorder("<")).reshape(
+                        self.chunks).astype(self.dtype)
+            return out
         out = {}
-        for flat, inner in enumerate(itertools.product(*[range(g) for g in grid])):
+        for flat, inner in inners:
             off, nb = int(idx[flat, 0]), int(idx[flat, 1])
-            if off == _MISSING:
-                continue
             out[inner] = _decode_chunk(data[off:off + nb], self.chunks,
                                        self.dtype, self._compress)
         return out
@@ -292,9 +311,21 @@ class Array:
         n_inner = math.prod(grid)
         idx = np.full((n_inner, 2), _MISSING, dtype="<u8")
         payload = bytearray()
-        for flat, inner in enumerate(itertools.product(*[range(g) for g in grid])):
-            if inner not in chunks:
-                continue
+        order = list(enumerate(itertools.product(*[range(g) for g in grid])))
+        present = [(flat, inner) for flat, inner in order if inner in chunks]
+        if _NATIVE is not None and self._compress and present:
+            raws = [np.ascontiguousarray(chunks[inner]).astype(
+                chunks[inner].dtype.newbyteorder("<")).tobytes()
+                for _, inner in present]
+            encs = _NATIVE.zstd_compress_batch(raws, level=1)
+            for (flat, _), enc in zip(present, encs):
+                idx[flat, 0] = len(payload)
+                idx[flat, 1] = len(enc)
+                payload += enc
+            idx_bytes = idx.tobytes()
+            checksum = struct.pack("<I", crc32c(idx_bytes))
+            return bytes(payload) + idx_bytes + checksum
+        for flat, inner in present:
             enc = _encode_chunk(chunks[inner], self._compress)
             idx[flat, 0] = len(payload)
             idx[flat, 1] = len(enc)
