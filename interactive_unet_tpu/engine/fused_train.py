@@ -1,0 +1,141 @@
+"""Whole-training-run-as-one-XLA-program (the <2 s retrain path).
+
+The reference's retrain loop round-trips host<->device every step (Lightning
+step loop, reference trainer.py:56-63).  On TPU — especially through a
+remote-tunnel runtime where each dispatch costs ~100 ms RTT — that's fatal
+for the "retrain in seconds" goal (SURVEY hard part #2).
+
+Here the ENTIRE run is one jit-compiled program:
+
+    scan over epochs:
+        device-side shuffle (jax.random.permutation)
+        scan over train steps: fused augmentation -> bf16 forward ->
+                               weighted loss -> AdamW update
+        scan over val batches: loss + rounded Dice/IoU/MCC
+        keep the best-val-loss params in carry (ModelCheckpoint semantics,
+        reference trainer.py:46-49)
+
+One dispatch, one device->host transfer (the per-epoch metric table +
+final/best params).  Short trailing batches are padded with slots whose
+labels/weights are zeroed, which is exact for the weighted loss/metric suite
+(the denominator is sum(weight)).  Compiles once per (N, batch, epochs,
+shape) signature and is cached in-process across retrain clicks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import augment as aug
+from ..ops import metrics as M
+
+AXES = (0, 1, 2)
+
+
+def _num_batches(n: int, batch: int) -> int:
+    return max(1, math.ceil(n / batch))
+
+
+def _metrics(pred, y, w):
+    yr, pr = jnp.round(y), jnp.round(pred)
+    return jnp.stack([
+        M.dice(pr, yr, w, AXES),
+        M.iou(pr, yr, w, AXES),
+        M.mcc(pr, yr, w, AXES),
+    ])
+
+
+def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
+                        batch_size: int, epochs: int, batch_sharding=None):
+    """Returns jit fn(params, opt_state, best_params, best_val, key,
+    x_tr, y_tr, w_tr, x_va, y_va, w_va)
+    -> (final_params, opt_state, best_params, best_val, logs); logs has shape
+    (epochs, 8): [train Loss/Dice/IoU/MCC, val Loss/Dice/IoU/MCC].
+
+    The (params, opt_state, best_params, best_val) carry is an explicit
+    input/output so callers can run one fused dispatch per epoch (keeping the
+    live metrics.csv plot) or one for the whole run — the buffers are donated
+    either way.  NOTE: params and best_params are both donated, so the caller
+    must pass distinct buffers (copy params for the initial best_params)."""
+    steps = _num_batches(n_train, batch_size)
+    val_steps = _num_batches(n_val, batch_size)
+    pad_train = steps * batch_size
+    pad_val = val_steps * batch_size
+
+    def gather(x, y, w, idx, n_real):
+        """Fixed-size batch; padded slots get zeroed labels/weights.  With a
+        mesh, the gathered batch is sharding-constrained so the step runs
+        data-parallel (GSPMD inserts the gradient all-reduce over ICI)."""
+        safe = jnp.minimum(idx, n_real - 1)
+        mask = (idx < n_real).astype(w.dtype)[:, None, None, None]
+        out = (jnp.take(x, safe, axis=0),
+               jnp.take(y, safe, axis=0) * mask,
+               jnp.take(w, safe, axis=0) * mask)
+        if batch_sharding is not None:
+            out = tuple(jax.lax.with_sharding_constraint(t, batch_sharding)
+                        for t in out)
+        return out
+
+    def fused(params, opt_state, best_params, best_val, key,
+              x_tr, y_tr, w_tr, x_va, y_va, w_va):
+
+        def epoch_body(carry, key):
+            params, opt_state, best_params, best_val = carry
+            k_perm, k_aug = jax.random.split(key)
+
+            # device-side shuffle; indices >= n_train are weight-masked pads
+            perm = jax.random.permutation(k_perm, pad_train)
+            batches = perm.reshape(steps, batch_size)
+
+            def train_step(carry, inp):
+                params, opt_state = carry
+                idx, k = inp
+                xb, yb, wb = gather(x_tr, y_tr, w_tr, idx, n_train)
+                xa, ya, wa = aug.augment_batch(k, xb, yb, wb)
+
+                def lfn(p):
+                    pred = model.apply(p, xa)
+                    return loss_fn(pred, ya, wa, AXES), pred
+
+                (loss, pred), grads = jax.value_and_grad(
+                    lfn, has_aux=True)(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                stats = jnp.concatenate([loss[None], _metrics(pred, ya, wa)])
+                return (params, opt_state), stats
+
+            keys = jax.random.split(k_aug, steps)
+            (params, opt_state), tr_stats = jax.lax.scan(
+                train_step, (params, opt_state), (batches, keys))
+            tr_mean = jnp.mean(tr_stats, axis=0)
+
+            def val_step(_, idx):
+                xb, yb, wb = gather(x_va, y_va, w_va, idx, n_val)
+                pred = model.apply(params, xb)
+                loss = loss_fn(pred, yb, wb, AXES)
+                return None, jnp.concatenate([loss[None],
+                                              _metrics(pred, yb, wb)])
+
+            val_idx = jnp.arange(pad_val).reshape(val_steps, batch_size)
+            _, va_stats = jax.lax.scan(val_step, None, val_idx)
+            va_mean = jnp.mean(va_stats, axis=0)
+
+            better = va_mean[0] < best_val
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b), best_params, params)
+            best_val = jnp.where(better, va_mean[0], best_val)
+
+            return ((params, opt_state, best_params, best_val),
+                    jnp.concatenate([tr_mean, va_mean]))
+
+        keys = jax.random.split(key, epochs)
+        carry = (params, opt_state, best_params, best_val)
+        (params, opt_state, best_params, best_val), logs = jax.lax.scan(
+            epoch_body, carry, keys)
+        return params, opt_state, best_params, best_val, logs
+
+    return jax.jit(fused, donate_argnums=(0, 1, 2, 3))

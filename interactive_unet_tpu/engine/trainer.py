@@ -143,7 +143,6 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     x_tr, y_tr, w_tr = _stack(train_ann, cfg.num_classes)
     x_va, y_va, w_va = _stack(val_ann, cfg.num_classes)
 
-    rng_np = np.random.default_rng(seed)
     key = jax.random.key(seed)
     params = model.init(jax.random.key(seed + 1), jnp.zeros_like(jnp.asarray(x_tr[:1])))
     if resume:
@@ -163,57 +162,51 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     else:
         batch_sharding = None
 
-    train_step = make_train_step(model, loss_fn, optimizer)
-    eval_step = make_eval_step(model, loss_fn)
+    # one fused XLA program per epoch: all steps + val + best-params tracking
+    # run on device; the host sees 8 floats per epoch (engine/fused_train.py)
+    from .fused_train import make_fused_train_fn
 
-    def put(a):
-        a = jnp.asarray(a)
-        return jax.device_put(a, batch_sharding) if batch_sharding else a
+    epoch_fn = make_fused_train_fn(model, loss_fn, optimizer,
+                                   n_train=len(x_tr), n_val=len(x_va),
+                                   batch_size=cfg.batch_size, epochs=1,
+                                   batch_sharding=batch_sharding)
 
-    x_tr_d, y_tr_d, w_tr_d = map(jnp.asarray, (x_tr, y_tr, w_tr))
-    x_va_d, y_va_d, w_va_d = map(jnp.asarray, (x_va, y_va, w_va))
+    # datasets stay replicated; the fused step re-shards each gathered batch
+    rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+    data = [jax.device_put(jnp.asarray(a), rep) if rep is not None
+            else jnp.asarray(a)
+            for a in (x_tr, y_tr, w_tr, x_va, y_va, w_va)]
 
     logger = CSVHistoryLogger(root)
-    best_val = float("inf")
-    step_count = 0
     history = []
+    steps_per_epoch = max(1, -(-len(x_tr) // cfg.batch_size))
 
     # remove the stale checkpoint exactly like the reference (trainer.py:42-43)
     if model_path.is_file():
         model_path.unlink()
 
+    # distinct buffers: params and best_params are both donated to epoch_fn,
+    # so they must not alias on the first call
+    best_params = jax.tree_util.tree_map(jnp.copy, params)
+    best_val = jnp.asarray(jnp.inf)
+    names = ("Loss", "Dice", "IoU", "MCC")
     for epoch in range(cfg.epochs):
-        tr_acc = {"Loss": [], "Dice": [], "IoU": [], "MCC": []}
-        for chunk, _ in _batches(len(x_tr), cfg.batch_size, rng_np, True):
-            key, sub = jax.random.split(key)
-            xb = put(x_tr_d[chunk])
-            yb = put(y_tr_d[chunk])
-            wb = put(w_tr_d[chunk])
-            params, opt_state, loss, mets = train_step(params, opt_state, sub,
-                                                       xb, yb, wb)
-            tr_acc["Loss"].append(float(loss))
-            for k in ("Dice", "IoU", "MCC"):
-                tr_acc[k].append(float(mets[k]))
-            step_count += 1
-
-        va_acc = {"Loss": [], "Dice": [], "IoU": [], "MCC": []}
-        for chunk, _ in _batches(len(x_va), cfg.batch_size, rng_np, False):
-            loss, mets = eval_step(params, put(x_va_d[chunk]),
-                                   put(y_va_d[chunk]), put(w_va_d[chunk]))
-            va_acc["Loss"].append(float(loss))
-            for k in ("Dice", "IoU", "MCC"):
-                va_acc[k].append(float(mets[k]))
-
-        train_row = {k: float(np.mean(v)) for k, v in tr_acc.items()}
-        val_row = {k: float(np.mean(v)) for k, v in va_acc.items()}
-        logger.log_epoch(epoch, step_count, train_row, val_row)
+        key, sub = jax.random.split(key)
+        params, opt_state, best_params, best_val, logs = epoch_fn(
+            params, opt_state, best_params, best_val, sub, *data)
+        row = np.asarray(logs[0])  # single d2h per epoch
+        train_row = dict(zip(names, map(float, row[:4])))
+        val_row = dict(zip(names, map(float, row[4:])))
+        logger.log_epoch(epoch, (epoch + 1) * steps_per_epoch, train_row,
+                         val_row)
         history.append({"epoch": epoch, "train": train_row, "val": val_row})
-
-        if val_row["Loss"] < best_val:
-            best_val = val_row["Loss"]
-            ckpt_io.save_checkpoint(model_path, params, cfg)
-
         if progress is not None:
             progress(epoch, cfg.epochs, train_row, val_row)
 
-    return {"history": history, "best_val_loss": best_val, "config": cfg}
+    # persist the best-val-loss params (ModelCheckpoint semantics)
+    ckpt_io.save_checkpoint(model_path, jax.device_get(best_params), cfg)
+    return {"history": history, "best_val_loss": float(best_val),
+            "config": cfg}
