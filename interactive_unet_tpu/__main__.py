@@ -57,7 +57,13 @@ def main(argv=None):
         result = train_model(**kwargs)
         print(json.dumps({"best_val_loss": result["best_val_loss"]}))
     elif args.cmd == "predict-volumes":
+        import signal
+
         from .engine.predict import predict_volumes
+
+        # hard-exit on Ctrl+C during long inference (the reference installs
+        # the same handler, predict.py:116-122)
+        signal.signal(signal.SIGINT, lambda *_: os._exit(1))
 
         res = predict_volumes(input_size=args.input_size,
                               num_classes=args.num_classes,

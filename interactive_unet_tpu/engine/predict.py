@@ -39,7 +39,26 @@ from ..ops import colors as C
 from . import checkpoint as ckpt_io
 
 
+_MODEL_CACHE: dict = {}
+
+
 def _load_model(root, num_channels, num_classes):
+    """Checkpoint -> (model, params, cfg), cached by (path, mtime) so the
+    interactive predict-slice path doesn't rebuild/re-init per call (the
+    reference reloads the Lightning ckpt every call, predict.py:22-27)."""
+    model_path = Path(root) / "model" / "model.ckpt"
+    cache_key = (str(model_path),
+                 model_path.stat().st_mtime if model_path.is_file() else None,
+                 num_channels, num_classes)
+    if cache_key in _MODEL_CACHE:
+        return _MODEL_CACHE[cache_key]
+    out = _load_model_uncached(root, num_channels, num_classes)
+    _MODEL_CACHE.clear()
+    _MODEL_CACHE[cache_key] = out
+    return out
+
+
+def _load_model_uncached(root, num_channels, num_classes):
     model_path = Path(root) / "model" / "model.ckpt"
     if model_path.is_file():
         state_dict, cfg = ckpt_io.load_checkpoint(model_path)

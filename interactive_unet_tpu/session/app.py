@@ -37,11 +37,14 @@ def _png(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False):
+def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
+              warmup: bool = False):
     from aiohttp import web
 
     state = SessionState(root=root, canvas_size=canvas_size,
                          resident=resident)
+    if warmup:  # kick one-time compiles in the background (server path only)
+        state.warmup()
     app = web.Application()
     train_proc: dict = {"proc": None}
 
@@ -54,6 +57,7 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False):
                             content_type="image/png")
 
     async def status(request):
+        state.check_volume_folder()
         s = state.status()
         proc = train_proc["proc"]
         if proc is not None:
@@ -211,7 +215,7 @@ def main(root: str = ".", port: int | None = None, resident: bool = False):
     from aiohttp import web
 
     port = port or int(np.random.randint(20000, 40000))
-    app = build_app(root=root, resident=resident)
+    app = build_app(root=root, resident=resident, warmup=True)
     print(f"interactive_unet_tpu running on http://localhost:{port}")
     web.run_app(app, port=port)
 

@@ -240,6 +240,38 @@ class SessionState:
         threading.Thread(target=run, daemon=True).start()
         return True
 
+    def check_volume_folder(self):
+        """Rescan data/image_volumes and reload when volumes were added or
+        removed (reference app.py:780-788 timer behavior)."""
+        n = len(glob.glob(str(self.root / "data" / "image_volumes" / "*.zarr")))
+        if n != len(self.dataset):
+            self.dataset = load_dataset(root=self.root)
+            self.randomize()
+        self.train_samples = glob.glob(
+            str(self.root / "data" / "train" / "images" / "*.tiff"))
+
+    def warmup(self):
+        """Kick the expensive one-time compiles (suggestor fit, slice
+        predict) in a background thread so the first stroke doesn't stall.
+        Compilation dominates first-use latency on TPU (SURVEY hard part #2)."""
+
+        def run():
+            try:
+                img = np.zeros((self.input_size, self.input_size), np.float32)
+                mask = np.zeros((self.input_size, self.input_size, 3), np.uint8)
+                mask[0, 0] = C.COLORS[1]
+                mask[0, 1] = C.COLORS[2]
+                sug = Suggestor(num_channels=1, num_classes=2)
+                sug.make_suggestions(img, mask)
+                self.suggestor_model = sug
+                predict_engine.predict_slice(
+                    (img * 255).astype(np.uint8),
+                    num_classes=self.num_classes, root=self.root)
+            except Exception:
+                pass  # warmup is best-effort
+
+        threading.Thread(target=run, daemon=True).start()
+
     def history_figure(self, metric: str = "Loss") -> dict:
         return get_training_history_figure(metric, self.root)
 
