@@ -65,10 +65,16 @@ def test_samples_on_disk(workspace):
     assert overlap.mean() < 0.01
 
 
-def test_train_predict_cycle(workspace):
-    result = trainer.train_model(lr=3e-3, batch_size=4, epochs=12,
-                                 num_classes=2, architecture="U-Net",
-                                 encoder_name="cnn_s", root=workspace, seed=0)
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """One shared 12-epoch training run."""
+    return trainer.train_model(lr=3e-3, batch_size=4, epochs=12,
+                               num_classes=2, architecture="U-Net",
+                               encoder_name="cnn_s", root=workspace, seed=0)
+
+
+def test_train_predict_cycle(workspace, trained):
+    result = trained
     assert (workspace / "model" / "model.ckpt").is_file()
     losses = [h["train"]["Loss"] for h in result["history"]]
     assert min(losses[-3:]) < losses[0]  # learning happened
@@ -92,7 +98,7 @@ def test_train_predict_cycle(workspace):
     assert dice > 0.55, f"slice dice too low: {dice}"
 
 
-def test_resume_continues(workspace):
+def test_resume_continues(workspace, trained):
     """Second train run resumes from ckpt (reference trainer.py:32-35)."""
     r2 = trainer.train_model(lr=1e-3, batch_size=4, epochs=2, num_classes=2,
                              architecture="U-Net", encoder_name="cnn_s",
@@ -104,7 +110,7 @@ def test_resume_continues(workspace):
     assert len(epochs) == 14
 
 
-def test_full_volume_predict(workspace):
+def test_full_volume_predict(workspace, trained):
     res = predict.predict_volumes(input_size=N, num_classes=2, root=workspace,
                                   batch_size=16, shard_size=32, chunk_size=32)
     assert len(res) == 1
