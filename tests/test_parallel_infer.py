@@ -1,0 +1,35 @@
+"""Mesh-sharded block inference equals the single-device path."""
+
+import numpy as np
+import pytest
+
+
+def test_sharded_block_predictor_matches_single():
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+
+    from interactive_unet_tpu.engine.predict import make_block_predictor
+    from interactive_unet_tpu.models import build_model
+    from interactive_unet_tpu.ops import blending
+    from interactive_unet_tpu.parallel import make_mesh
+    from interactive_unet_tpu.parallel.infer import make_sharded_block_predictor
+
+    S = 32
+    model = build_model(architecture="U-Net", encoder_name="cnn_s",
+                        num_classes=2)
+    params = model.init(jax.random.key(0), jnp.zeros((1, S, S, 1)))
+    window = blending.gaussian_3d(S)
+    rng = np.random.default_rng(0)
+    block = rng.random((S, S, S)).astype(np.float32)
+
+    single, _ = make_block_predictor(model, params, S, 2, batch_size=8,
+                                     window=window)
+    mesh = make_mesh(4)
+    sharded, bs = make_sharded_block_predictor(model, params, S, 2, mesh,
+                                               batch_size=8, window=window)
+    out_single = np.asarray(single(block))
+    out_sharded = np.asarray(sharded(block))
+    np.testing.assert_allclose(out_single, out_sharded, atol=2e-3, rtol=1e-3)
