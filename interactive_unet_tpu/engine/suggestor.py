@@ -1,21 +1,26 @@
 """Live few-shot suggestor (reference suggestor.py:14-116, re-designed).
 
-After every completed stroke the reference trains a fresh/cached
-MobileNetV2-U-Net for 30 AdamW steps on the single annotated slice (flip/rot
-augmentation, MCC+CE loss on stroke-covered pixels), keeps the best-loss
-weights, reinitializes on NaN, then predicts the full slice.
+After every completed stroke the reference trains a fresh/cached small U-Net
+for 30 AdamW steps on the single annotated slice (flip/rot augmentation,
+MCC+CE loss on stroke-covered pixels), keeps the best-loss weights,
+reinitializes on NaN, then predicts the full slice.
 
-TPU-first re-design: the ENTIRE fit-and-predict — 30 x (augment -> forward ->
-loss -> backward -> AdamW) + best-params tracking + NaN-reinit + final
-inference — is one jit-compiled ``lax.scan`` program.  It compiles once per
-(input size, num_classes) and afterwards every stroke costs a single device
-dispatch, which is what makes the <2 s round-trip target reachable
-(SURVEY §7 step 6: "compile once, reuse").
+TPU-first re-design:
+- the ENTIRE fit-and-predict — RGB-mask decode, 30 x (augment -> forward ->
+  loss -> backward -> AdamW), best-params tracking, NaN-restart, final
+  inference — is ONE jit-compiled ``lax.scan`` program, compiled once per
+  (input size, num_classes) and reused across strokes (<2 s target lives on
+  avoiding retrace, SURVEY §7 step 6);
+- the host ships only the raw (H,W,3) uint8 stroke mask + the K present
+  palette colors per stroke; one-hot labels and the stroke-coverage weight
+  are computed on device (no host decode, 5x smaller upload);
+- the slice image tensor and the pristine init params are cached across
+  strokes on the same slice;
+- encoder default is a dense CNN (MXU-friendly) instead of the reference's
+  depthwise MobileNetV2 (VPU-bound on TPU); mobilenet_v2 stays selectable.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -33,14 +38,12 @@ class Suggestor:
     def __init__(self, num_channels: int = 1, num_classes: int = 2,
                  steps: int = 30, lr: float = 1e-4, seed: int = 0,
                  encoder_name: str = "cnn_s"):
-        # cnn_s (dense convs -> MXU) is ~1.6x faster per stroke on TPU than
-        # the reference's MobileNetV2 (suggestor.py:22-26), whose depthwise
-        # convolutions are VPU-bound; mobilenet_v2 remains selectable.
         self.num_channels = num_channels
         self.num_classes = num_classes
         self.steps = steps
         self.lr = lr
         self.seed = seed
+        self.encoder_name = encoder_name
         self.model = build_model(architecture="U-Net",
                                  encoder_name=encoder_name,
                                  num_channels=num_channels,
@@ -48,6 +51,9 @@ class Suggestor:
                                  dtype=jnp.bfloat16)
         self.params = None
         self._fit_fn = None
+        self._init_params = None
+        self._x_dev = None
+        self._x_key = None
         self._key = jax.random.key(seed)
 
     # -- compiled program ---------------------------------------------------
@@ -58,9 +64,21 @@ class Suggestor:
         model = self.model
         optimizer = optax.adamw(self.lr)
         steps = self.steps
+        num_classes = self.num_classes
 
-        def fit_and_predict(params, init_params, key, x, y, w):
-            """x (1,H,W,C) image; y (1,H,W,K) one-hot; w same-shaped weight."""
+        def fit_and_predict(params, init_params, key, x, mask_u8, colors_u8):
+            """x (1,H,W,C) image; mask_u8 (H,W,3); colors_u8 (K,3) palette
+            colors painted, in palette order."""
+            # on-device label decode (reference does this on host via numba,
+            # suggestor.py:57-64)
+            m = mask_u8.astype(jnp.int32)
+            keys_px = (m[..., 0] << 16) | (m[..., 1] << 8) | m[..., 2]
+            ck = colors_u8.astype(jnp.int32)
+            ckeys = (ck[:, 0] << 16) | (ck[:, 1] << 8) | ck[:, 2]
+            y = (keys_px[None, ..., None] == ckeys).astype(jnp.float32)
+            covered = (jnp.sum(y, -1, keepdims=True) > 0).astype(jnp.float32)
+            w = jnp.repeat(covered, num_classes, axis=-1)
+
             opt_state = optimizer.init(params)
 
             def body(carry, k):
@@ -85,11 +103,10 @@ class Suggestor:
                 best_loss = jnp.where(bad, jnp.inf, best_loss)
 
                 # keep the best-loss params (reference suggestor.py:97-100)
-                better = loss < best_loss
+                better = (loss < best_loss) & ~bad
                 best_params = jax.tree_util.tree_map(
-                    lambda b, p: jnp.where(better & ~bad, p, b),
-                    best_params, params)
-                best_loss = jnp.where(better & ~bad, loss, best_loss)
+                    lambda b, p: jnp.where(better, p, b), best_params, params)
+                best_loss = jnp.where(better, loss, best_loss)
 
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -100,7 +117,7 @@ class Suggestor:
                 body, (params, opt_state, params, jnp.inf), keys)
 
             pred = model.apply(best_params, x)
-            class_ids = jnp.argmax(pred[0], axis=-1)
+            class_ids = jnp.argmax(pred[0], axis=-1).astype(jnp.int32)
             return best_params, class_ids, best_loss, losses
 
         return jax.jit(fit_and_predict)
@@ -128,25 +145,29 @@ class Suggestor:
         elif x.ndim == 4 and x.shape[1] <= 4 and x.shape[-1] > 4:
             x = np.moveaxis(x, 1, -1)  # NCHW -> NHWC
 
-        onehot, _ = C.colored_to_categorical(mask)
-        y = (onehot > 127).astype(np.float32)[None]  # (1,H,W,K)
-        covered = (y.sum(-1, keepdims=True) > 0).astype(np.float32)
-        w = np.repeat(covered, num_classes, axis=-1)
-
         if num_classes != self.num_classes or self.num_channels != x.shape[-1]:
             self.__init__(num_channels=x.shape[-1], num_classes=num_classes,
-                          steps=self.steps, lr=self.lr, seed=self.seed)
+                          steps=self.steps, lr=self.lr, seed=self.seed,
+                          encoder_name=self.encoder_name)
 
         if self._fit_fn is None:
             self._fit_fn = self._build_fit_fn()
 
-        self._key, k_init, k_fit = jax.random.split(self._key, 3)
-        init_params = self.model.init(k_init, jnp.asarray(x))
-        params = self.params if self.params is not None else init_params
+        # the slice image is constant across strokes: upload once
+        x_key = (id(image_features), x.shape)
+        if self._x_key != x_key:
+            self._x_dev = jnp.asarray(x)
+            self._x_key = x_key
+        if self._init_params is None:
+            self._key, k_init = jax.random.split(self._key)
+            self._init_params = self.model.init(k_init, self._x_dev)
+
+        self._key, k_fit = jax.random.split(self._key)
+        params = self.params if self.params is not None else self._init_params
 
         best_params, class_ids, best_loss, _ = self._fit_fn(
-            params, init_params, k_fit, jnp.asarray(x), jnp.asarray(y),
-            jnp.asarray(w))
+            params, self._init_params, k_fit, self._x_dev,
+            jnp.asarray(mask), jnp.asarray(unique_colors))
         self.params = best_params
 
         ids = np.asarray(class_ids)
