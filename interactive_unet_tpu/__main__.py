@@ -42,6 +42,14 @@ def main(argv=None):
     p_ex.add_argument("--root", default=".")
     p_ex.add_argument("--size", type=int, default=256)
 
+    p_imp = sub.add_parser("import-volume",
+                           help="convert a .npy volume into a multiscale "
+                                "zarr store under data/image_volumes/")
+    p_imp.add_argument("path")
+    p_imp.add_argument("--root", default=".")
+    p_imp.add_argument("--chunk-size", type=int, default=128)
+    p_imp.add_argument("--shard-size", type=int, default=256)
+
     args = parser.parse_args(argv)
 
     if args.cmd in (None, "app"):
@@ -74,6 +82,22 @@ def main(argv=None):
 
         make_example_data(args.root, size=args.size)
         print("example volume created")
+    elif args.cmd == "import-volume":
+        from pathlib import Path
+
+        import numpy as np
+
+        from .storage import create_multiscale_zarr
+
+        vol = np.load(args.path)
+        if vol.dtype != np.uint8:
+            vol = np.clip(vol, 0, 255).astype(np.uint8)
+        name = Path(args.path).stem
+        dst = Path(args.root) / "data" / "image_volumes" / f"{name}.zarr"
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        create_multiscale_zarr(vol, dst, chunk_size=args.chunk_size,
+                               shard_size=args.shard_size)
+        print(f"imported {args.path} -> {dst}")
     return 0
 
 

@@ -168,6 +168,9 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                     state.predicting = False
 
             loop.run_in_executor(None, run)
+        elif name == "build_annotation_volumes":
+            from .volumedata import build_annotation_volumes, load_dataset
+            build_annotation_volumes(load_dataset(root=state.root))
         elif name == "clear_annotations":
             state.clear_annotations()
         elif name == "clear_model":
