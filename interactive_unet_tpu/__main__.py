@@ -19,6 +19,12 @@ import sys
 
 def main(argv=None):
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # Honor an explicit JAX_PLATFORMS=cpu even when a sitecustomize pins a
+    # TPU plugin (the env var alone loses to plugin registration).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     parser = argparse.ArgumentParser(prog="interactive-unet-tpu")
     sub = parser.add_subparsers(dest="cmd")
 

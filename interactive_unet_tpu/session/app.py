@@ -147,10 +147,16 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
             if train_proc["proc"] is None or train_proc["proc"].poll() is not None:
                 state.save_model_details()
                 kwargs = state.train_kwargs()
+                import os as _os
+
+                env = dict(_os.environ)
+                pkg_dir = str(Path(__file__).parents[2])
+                env["PYTHONPATH"] = pkg_dir + _os.pathsep + env.get(
+                    "PYTHONPATH", "")
                 train_proc["proc"] = subprocess.Popen(
                     [sys.executable, "-m", "interactive_unet_tpu", "train",
                      "--kwargs", json.dumps(kwargs)],
-                    cwd=str(state.root))
+                    cwd=str(state.root), env=env)
                 state.training = True
         elif name == "predict_slice":
             state.predict_slice_async()
