@@ -27,6 +27,7 @@ def annotated_ws(tmp_path):
     from interactive_unet_tpu.session.volumedata import VolumeData
 
     vd = VolumeData("tiny.zarr", root=tmp_path)
+    vd.slicer.rng = np.random.default_rng(7)  # deterministic origins
     for axis in ("x", "y"):
         vd.randomize(sampling_mode="grid", sampling_axis=axis)
         img = vd.get_slice(slice_width=N, order=1).astype(np.uint8)

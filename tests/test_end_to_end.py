@@ -33,6 +33,7 @@ def workspace(tmp_path_factory):
                                    "sphere.zarr", chunk_size=32, shard_size=32)
 
     vd = VolumeData("sphere.zarr", root=root)
+    vd.slicer.rng = np.random.default_rng(7)  # deterministic origins
     rng2 = np.random.default_rng(1)
     for axis_name in ("x", "y", "z", "x"):
         vd.randomize(sampling_mode="grid", sampling_axis=axis_name)

@@ -62,10 +62,15 @@ def test_scores_match_closed_form(rng, weighted):
         (tp * tn - fp * fn + EPS)
         / (((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5 + EPS))
 
-    np.testing.assert_allclose(M.dice(yp, yt, w, axes), dice_exp, rtol=1e-5)
-    np.testing.assert_allclose(M.iou(yp, yt, w, axes), iou_exp, rtol=1e-5)
-    np.testing.assert_allclose(M.mcc(yp, yt, w, axes), mcc_exp, rtol=1e-4)
-    np.testing.assert_allclose(M.dice_loss(yp, yt, w, axes), 1 - dice_exp, rtol=1e-4)
+    np.testing.assert_allclose(M.dice(yp, yt, w, axes), dice_exp,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(M.iou(yp, yt, w, axes), iou_exp,
+                               rtol=1e-5, atol=1e-6)
+    # mcc can be ~0 where rtol alone is meaningless (f32 vs f64 rounding)
+    np.testing.assert_allclose(M.mcc(yp, yt, w, axes), mcc_exp,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(M.dice_loss(yp, yt, w, axes), 1 - dice_exp,
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_crossentropy_matches_numpy(rng):

@@ -25,6 +25,7 @@ def annotated_ws(tmp_path_factory):
     storage.create_multiscale_zarr(vol, root / "data" / "image_volumes" /
                                    "sphere.zarr", chunk_size=16, shard_size=32)
     vd = VolumeData("sphere.zarr", root=root)
+    vd.slicer.rng = np.random.default_rng(7)  # deterministic origins
     for axis in ("x", "y", "z"):
         vd.randomize(sampling_mode="grid", sampling_axis=axis)
         img = vd.get_slice(slice_width=N, order=1).astype(np.uint8)
