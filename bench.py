@@ -60,11 +60,14 @@ def main():
                                        coords - shift[:, None, None], order=1)
 
     scipy_slice(coords_list[0])  # warm cache
-    t0 = time.perf_counter()
+    cpu_times = []
     for c in coords_list[:CPU_REPS]:
+        t0 = time.perf_counter()
         scipy_slice(c)
-    t_cpu = (time.perf_counter() - t0) / CPU_REPS
-    log(f"scipy CPU: {t_cpu * 1e3:.2f} ms/slice")
+        cpu_times.append(time.perf_counter() - t0)
+    t_cpu = min(cpu_times)  # min-of-reps on both sides (fair under load)
+    log(f"scipy CPU: {t_cpu * 1e3:.2f} ms/slice "
+        f"(reps: {[f'{t * 1e3:.1f}' for t in cpu_times]})")
 
     # --- ours: packed-neighborhood single-gather kernel (ops/fastslice) ----
     from interactive_unet_tpu.ops.fastslice import PackedVolume
@@ -96,14 +99,16 @@ def main():
     # Throughput timing: queue a round of dispatches, force completion with a
     # d2h read of the final result (in-order execution covers the round).
     rounds = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         last = None
         for a, b, o, _c in frames:
             last = pv.extract_oriented(a, b, o, S, 1)
         np.asarray(last).ravel()[:1]
         rounds.append((time.perf_counter() - t0) / REPS)
-    t_dev = sorted(rounds)[1]  # median of 3
+    # min-of-rounds: the least-interference estimate of kernel throughput
+    # (the remote-tunnel runtime adds large, occasional scheduling noise)
+    t_dev = min(rounds)
     log(f"device: {t_dev * 1e3:.3f} ms/slice (rounds: "
         f"{[f'{r * 1e3:.3f}' for r in rounds]})")
 
