@@ -50,7 +50,8 @@ def _metrics(pred, y, w):
 
 
 def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
-                        batch_size: int, epochs: int, batch_sharding=None):
+                        batch_size: int, epochs: int, batch_sharding=None,
+                        remat: bool = False):
     """Returns jit fn(params, opt_state, best_params, best_val, key,
     x_tr, y_tr, w_tr, x_va, y_va, w_va)
     -> (final_params, opt_state, best_params, best_val, logs); logs has shape
@@ -80,6 +81,10 @@ def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
                         for t in out)
         return out
 
+    # rematerialization trades FLOPs for activation memory: lets large
+    # batches / large inputs fit HBM at ~1.3x step cost
+    apply_fn = (jax.checkpoint(model.apply) if remat else model.apply)
+
     def fused(params, opt_state, best_params, best_val, key,
               x_tr, y_tr, w_tr, x_va, y_va, w_va):
 
@@ -98,7 +103,7 @@ def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
                 xa, ya, wa = aug.augment_batch(k, xb, yb, wb)
 
                 def lfn(p):
-                    pred = model.apply(p, xa)
+                    pred = apply_fn(p, xa)
                     return loss_fn(pred, ya, wa, AXES), pred
 
                 (loss, pred), grads = jax.value_and_grad(

@@ -21,8 +21,6 @@ TPU-first re-design:
 
 from __future__ import annotations
 
-import math
-import time
 from pathlib import Path
 
 import jax

@@ -3,8 +3,6 @@ unet.py:37-38, 49-50)."""
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -12,8 +12,6 @@ host round-trips inside the train step.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -18,7 +18,6 @@ axes=(0,1,2).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 

@@ -6,10 +6,10 @@ a Slicer.  With ``annotations=True`` it additionally loads the re-projected
 3-D mask/weight volumes and class-balanced origin candidates, enabling
 training-time reslice sampling.
 
-TPU addition: ``resident()`` uploads the whole volume once to device HBM as a
-flat float32 buffer; subsequent ``get_slice`` calls skip the host bounding-box
-fetch entirely and gather straight from HBM — the fast path for interactive
-scrolling and batched reslice sampling.
+TPU addition: ``resident()`` packs the whole volume once into device HBM
+(ops.fastslice neighborhood layout); subsequent ``get_slice`` calls skip the
+host bounding-box fetch entirely and extract with one row-gather per sample —
+the fast path for interactive scrolling and batched reslice sampling.
 """
 
 from __future__ import annotations
@@ -22,7 +22,6 @@ import numpy as np
 
 from .. import storage
 from ..ops import colors as C
-from ..ops import resample
 from ..ops.slicer import Slicer
 
 

@@ -14,7 +14,6 @@ writeback has a device variant in ops.blending.
 from __future__ import annotations
 
 import math
-from pathlib import Path
 
 import numpy as np
 from scipy import ndimage
