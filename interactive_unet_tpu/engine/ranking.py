@@ -1,0 +1,85 @@
+"""Uncertainty-driven slice ranking (BASELINE north-star capability:
+"suggestor uncertainty slice ranking runs on-device").
+
+Samples K candidate oriented slices from a volume, runs the current model on
+all of them in one batched forward, scores each by predictive uncertainty,
+and returns the candidates ranked most-uncertain-first — the next slice the
+annotator should label.  The whole candidate sweep (K slice extractions +
+K forwards + entropy reduction) is device-resident: slice extraction uses the
+packed single-gather kernel and the scores come back as K floats.
+
+Scores:
+- ``entropy``: mean softmax entropy over the slice (default)
+- ``margin``:  mean (1 - |p_top1 - p_top2|) — high when classes compete
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fastslice import PackedVolume
+from ..ops.slicer import Slicer
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "score"))
+def _score_slices(apply_fn, params, slices, score: str = "entropy"):
+    """slices (K,S,S) float in [0,1] -> (K,) uncertainty scores."""
+    probs = apply_fn(params, slices[..., None])  # (K,S,S,C)
+    if score == "margin":
+        top2 = jax.lax.top_k(probs, 2)[0]
+        return jnp.mean(1.0 - (top2[..., 0] - top2[..., 1]), axis=(1, 2))
+    ent = -jnp.sum(probs * jnp.log(probs + 1e-9), axis=-1)
+    return jnp.mean(ent, axis=(1, 2))
+
+
+def rank_slices(model, params, volume, num_candidates: int = 16,
+                slice_width: int = 256, sampling_mode: str = "random",
+                score: str = "entropy", seed: int = 0,
+                packed: PackedVolume | None = None):
+    """Propose annotation targets: returns a list of dicts
+    {"slicer": Slicer.to_dict(), "score": float}, most uncertain first.
+
+    ``volume`` is a (D,H,W) array-like; pass a prebuilt ``packed``
+    PackedVolume to skip re-packing (the interactive session keeps one).
+    """
+    volume_shape = volume.shape if packed is None else packed.shape
+    slicer = Slicer(volume_shape, seed=seed)
+    pv = packed or PackedVolume(np.asarray(volume[:, :, :]))
+
+    frames = []
+    stack = []
+    for _ in range(num_candidates):
+        slicer.randomize(sampling_mode=sampling_mode)
+        frames.append(slicer.to_dict())
+        stack.append(pv.extract_slicer(slicer, axis=0,
+                                       slice_width=slice_width, order=1))
+    slices = jnp.stack(stack) / 255.0
+
+    scores = np.asarray(_score_slices(model.apply, params, slices, score))
+    order = np.argsort(-scores)
+    return [{"slicer": frames[i], "score": float(scores[i])} for i in order]
+
+
+def rank_slices_for_workspace(root=".", num_candidates: int = 16,
+                              slice_width: int | None = None,
+                              score: str = "entropy", seed: int = 0):
+    """Convenience: rank candidate slices of every workspace volume with the
+    current checkpoint; returns {volume_name: ranked list}."""
+    from .predict import _load_model
+    from .samples import get_input_size, get_num_classes
+    from ..session.volumedata import load_dataset
+
+    slice_width = slice_width or get_input_size(root)
+    model, params, _ = _load_model(root, 1, get_num_classes(root))
+    out = {}
+    for vd in load_dataset(root=root):
+        vd.resident()
+        out[vd.filename] = rank_slices(
+            model, params, vd.image_volume,
+            num_candidates=num_candidates, slice_width=slice_width,
+            score=score, seed=seed, packed=vd._flat_dev)
+    return out

@@ -174,6 +174,10 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                     state.predicting = False
 
             loop.run_in_executor(None, run)
+        elif name == "suggest_slice":
+            score = state.suggest_next_slice()
+            return web.json_response({"ok": True, "score": score,
+                                      "status": state.status()})
         elif name == "build_annotation_volumes":
             from .volumedata import build_annotation_volumes, load_dataset
             build_annotation_volumes(load_dataset(root=state.root))

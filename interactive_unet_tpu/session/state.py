@@ -240,6 +240,27 @@ class SessionState:
         threading.Thread(target=run, daemon=True).start()
         return True
 
+    def suggest_next_slice(self, num_candidates: int = 16):
+        """Active-learning navigation: jump to the most model-uncertain slice
+        of the current volume (engine/ranking.py; BASELINE closed-loop
+        capability)."""
+        from ..engine import ranking
+        from ..engine.predict import _load_model
+
+        vd = self.dataset[self.volume_index]
+        vd.resident()
+        model, params, _ = _load_model(self.root, 1, self.num_classes)
+        ranked = ranking.rank_slices(model, params, vd.image_volume,
+                                     num_candidates=num_candidates,
+                                     slice_width=self.input_size,
+                                     sampling_mode=self.sampling_mode
+                                     if self.sampling_mode != "random"
+                                     else "random",
+                                     packed=vd._flat_dev)
+        vd.slicer.from_dict(ranked[0]["slicer"])
+        self._refresh_slice()
+        return ranked[0]["score"]
+
     def check_volume_folder(self):
         """Rescan data/image_volumes and reload when volumes were added or
         removed (reference app.py:780-788 timer behavior)."""
