@@ -26,7 +26,13 @@ _EPS = 1e-12
 
 def _counts(y_true, weight, axes):
     if weight is not None:
-        return jnp.sum(weight, axis=axes)
+        # Guard the all-masked case: an augmentation crop can land on a
+        # region with zero labeled pixels; sum(weight)==0 would turn the
+        # loss NaN and permanently corrupt AdamW state.  (The reference has
+        # this hazard — its counts divide unguarded, metrics.py:14 — and
+        # works around it elsewhere with the corner-pixel stamp.)  With the
+        # floor, a zero-weight batch contributes exactly 0.
+        return jnp.maximum(jnp.sum(weight, axis=axes), _EPS)
     n = math.prod(y_true.shape[a] for a in axes)
     return jnp.asarray(n, dtype=y_true.dtype)
 
@@ -96,7 +102,11 @@ def mcc(y_pred, y_true, weight=None, axes=(1, 2)):
     fp = false_positives(y_pred, y_true, weight, axes)
     fn = false_negatives(y_pred, y_true, weight, axes)
     num = tp * tn - fp * fn
-    den = ((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) ** 0.5
+    # the sqrt argument is floored: d/dx sqrt(x) is infinite at 0, which
+    # would propagate NaN gradients whenever a batch has an empty confusion
+    # matrix (e.g. a zero-weight augmentation crop)
+    den = jnp.sqrt(jnp.maximum(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn), _EPS * _EPS))
     return jnp.mean((num + _EPS) / (den + _EPS))
 
 
