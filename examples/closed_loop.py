@@ -60,6 +60,7 @@ def main(root="closed_loop_ws"):
     # --- annotate two slices, with live suggestions -------------------------
     for axis in ("x", "y"):
         vd.randomize(sampling_mode="grid", sampling_axis=axis)
+        vd.slicer.origin = np.array([N / 2.0] * 3)  # through the sphere
         img = vd.get_slice(slice_width=N, order=1).astype(np.uint8)
         mask = scripted_annotation(img)
         t0 = time.perf_counter()

@@ -189,16 +189,29 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
         block_coords, padded_coords, local_coords = \
             blending.get_block_coordinates(in_shape, input_size, overlap)
 
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..utils.profiling import Timer
 
         timer = Timer()
         win_np = np.asarray(window, dtype=np.float32)
+
+        # async host->device pipeline: a worker thread reads + reflect-pads
+        # the NEXT zarr block while the device predicts the current one
+        # (SURVEY §2.1: shard-aligned async prefetch)
+        def fetch(idx):
+            pb = blending.get_padded_block(volume, *padded_coords[idx])
+            return pb.astype(np.float32) / 255.0
+
+        prefetcher = ThreadPoolExecutor(max_workers=1)
+        pending = prefetcher.submit(fetch, 0)
         for idx in range(len(padded_coords)):
             with timer.span("read_block"):
-                pb = blending.get_padded_block(volume, *padded_coords[idx])
+                pb = pending.result()
+            if idx + 1 < len(padded_coords):
+                pending = prefetcher.submit(fetch, idx + 1)
             with timer.span("device_2_5d"):
-                block_pred = np.asarray(
-                    predict_block(pb.astype(np.float32) / 255.0))
+                block_pred = np.asarray(predict_block(pb))
             i0, j0, k0, i1, j1, k1 = block_coords[idx]
             li0, lj0, lk0, li1, lj1, lk1 = local_coords[idx]
             if use_ram:
@@ -214,14 +227,25 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
             if progress is not None:
                 progress(idx + 1, len(padded_coords))
 
-        # shard-aligned normalization + writeback (one write per shard file)
+        prefetcher.shutdown(wait=False)
+
+        # shard-aligned normalization + writeback: one thread per shard so no
+        # two threads ever touch the same shard file (the reference's write
+        # partitioning, predict.py:251-256)
+        def normalize_shard(coords):
+            i0, j0, k0, i1, j1, k1 = coords
+            p = pred[i0:i1, j0:j1, k0:k1]
+            w = weight[i0:i1, j0:j1, k0:k1]
+            final[i0:i1, j0:j1, k0:k1] = (
+                255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
+
         with timer.span("normalize_writeback"):
-            for (i0, j0, k0, i1, j1, k1) in blending.get_shard_coordinates(
-                    in_shape, shard_size=shard_size):
-                p = pred[i0:i1, j0:j1, k0:k1]
-                w = weight[i0:i1, j0:j1, k0:k1]
-                final[i0:i1, j0:j1, k0:k1] = (
-                    255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
+            from joblib import Parallel, delayed
+
+            Parallel(n_jobs=-1, prefer="threads")(
+                delayed(normalize_shard)(coords)
+                for coords in blending.get_shard_coordinates(
+                    in_shape, shard_size=shard_size))
 
         if not use_ram:
             shutil.rmtree(root / "temp", ignore_errors=True)
