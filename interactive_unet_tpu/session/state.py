@@ -113,6 +113,9 @@ class SessionState:
         """Apply a full stroke: list of (x, y) canvas points."""
         if len(points) == 0:
             return
+        if mode == "capture_overlay" and overlay not in self.annotator.overlays:
+            return  # nothing to capture yet (reference guards the same,
+                    # app.py:470-474)
         x0, y0 = points[0]
         self.annotator.new_path(x0, y0, self.brush_size, self.color_rgb(),
                                 mode=mode, overlay=overlay)
