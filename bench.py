@@ -1,9 +1,9 @@
 """Benchmark: oriented-slice sampling throughput (the north-star kernel).
 
-Compares the TPU-native device resampler (flat-HBM gather, ops/resample.py)
+Compares the TPU-native packed single-gather slicer (ops/fastslice.py)
 against the reference's CPU path (scipy.ndimage.map_coordinates over a
 bounding-box block — reference slicer.py:224-226) on random-orientation
-512x512 trilinear slices of a 256^3 volume.
+512x512 trilinear slices of a 512^3 volume.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -29,7 +29,6 @@ def main():
     import jax.numpy as jnp
     from scipy import ndimage
 
-    from interactive_unet_tpu.ops import resample
     from interactive_unet_tpu.ops.slicer import Slicer
 
     N = 512          # volume edge (BASELINE: 512^3 volumes)
