@@ -18,3 +18,32 @@ Parallel scale-out lives in interactive_unet_tpu.parallel (jax.sharding mesh).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax for `import interactive_unet_tpu`)."""
+    if name == "train_model":
+        from .engine.trainer import train_model
+        return train_model
+    if name == "predict_volumes":
+        from .engine.predict import predict_volumes
+        return predict_volumes
+    if name == "predict_slice":
+        from .engine.predict import predict_slice
+        return predict_slice
+    if name == "Suggestor":
+        from .engine.suggestor import Suggestor
+        return Suggestor
+    if name == "build_model":
+        from .models import build_model
+        return build_model
+    if name == "Slicer":
+        from .ops.slicer import Slicer
+        return Slicer
+    if name == "PackedVolume":
+        from .ops.fastslice import PackedVolume
+        return PackedVolume
+    if name == "VolumeData":
+        from .session.volumedata import VolumeData
+        return VolumeData
+    raise AttributeError(name)
