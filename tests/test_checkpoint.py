@@ -1,0 +1,61 @@
+"""Checkpoint: save/load round-trip, architecture restoration, resume
+override semantics (reference trainer.py:31-49, unet.py:23)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from interactive_unet_tpu.config import TrainConfig
+from interactive_unet_tpu.engine import checkpoint as ck
+from interactive_unet_tpu.models import build_model
+
+
+@pytest.mark.parametrize("arch,enc", [
+    ("U-Net", "cnn_s"),
+    ("DeepLabV3+", "mobilenet_v2"),
+    ("Segformer", "mit_b0"),
+])
+def test_roundtrip_restores_architecture(tmp_path, arch, enc):
+    model = build_model(architecture=arch, encoder_name=enc, num_classes=3)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    cfg = TrainConfig(architecture=arch, encoder_name=enc, num_classes=3)
+    path = tmp_path / "model.ckpt"
+    ck.save_checkpoint(path, params, cfg)
+
+    state_dict, cfg2 = ck.load_checkpoint(path)
+    assert cfg2.architecture == arch
+    assert cfg2.encoder_name == enc
+    assert cfg2.num_classes == 3
+
+    model2 = build_model(architecture=cfg2.architecture,
+                         encoder_name=cfg2.encoder_name,
+                         num_classes=cfg2.num_classes)
+    params2 = model2.init(jax.random.key(1), x)  # different init
+    params2 = serialization.from_state_dict(params2, state_dict)
+
+    out1 = np.asarray(model.apply(params, x))
+    out2 = np.asarray(model2.apply(params2, x))
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_load_with_template(tmp_path):
+    model = build_model(architecture="U-Net", encoder_name="cnn_s")
+    x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    ck.save_checkpoint(tmp_path / "m.ckpt", params, TrainConfig())
+    template = model.init(jax.random.key(9), x)
+    restored, _ = ck.load_checkpoint(tmp_path / "m.ckpt", template)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.ckpt"
+    p.write_bytes(b"not a checkpoint")
+    with pytest.raises(ValueError):
+        ck.load_checkpoint(p)
