@@ -48,7 +48,9 @@ def make_sharded_block_predictor(model, params, input_size: int,
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
         return jax.lax.fori_loop(0, S // bs, body, acc)
 
-    def predict_block(p, block):
+    def predict_block(p, block_u8):
+        # same wire contract as the single-chip path: uint8 in, float16 out
+        block = block_u8.astype(jnp.float32) / 255.0
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
         if 0 in axes:
             acc = acc + sweep(p, block)
@@ -59,11 +61,11 @@ def make_sharded_block_predictor(model, params, input_size: int,
         acc = acc / len(axes)
         if window_d is not None:
             acc = acc * window_d
-        return acc
+        return acc.astype(jnp.float16)
 
     fn = jax.jit(predict_block, in_shardings=(rep, rep))
     params_r = jax.device_put(params, rep)
     return (lambda block: fn(params_r,
-                             jax.device_put(jnp.asarray(block, jnp.float32),
+                             jax.device_put(jnp.asarray(block, jnp.uint8),
                                             rep)),
             bs)

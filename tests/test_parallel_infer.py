@@ -23,7 +23,7 @@ def test_sharded_block_predictor_matches_single():
     params = model.init(jax.random.key(0), jnp.zeros((1, S, S, 1)))
     window = blending.gaussian_3d(S)
     rng = np.random.default_rng(0)
-    block = rng.random((S, S, S)).astype(np.float32)
+    block = (rng.random((S, S, S)) * 255).astype(np.uint8)
 
     single, _ = make_block_predictor(model, params, S, 2, batch_size=8,
                                      window=window)
