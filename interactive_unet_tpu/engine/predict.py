@@ -85,12 +85,28 @@ def predict_slice(image_slice, num_channels=1, num_classes=2,
     """Forward one (H, W) uint8 slice -> colored prediction (or (H,W,C) probs)."""
     model, params, cfg = _load_model(root, num_channels, num_classes)
     x = (np.asarray(image_slice)[None, :, :, None] / 255).astype("float32")
-    y_prob = np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
     if return_probabilities:
-        return y_prob
-    y_pred = np.argmax(y_prob[0, :, :, :num_classes], axis=-1)
-    onehot = np.stack([y_pred == i for i in range(num_classes)], -1)
-    return C.categorical_to_colored((onehot * 255).astype("uint8"))
+        return np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
+    fn = _colored_fn(model, num_classes)
+    return np.asarray(fn(params, jnp.asarray(x)))
+
+
+_COLORED_CACHE: dict = {}
+
+
+def _colored_fn(model, num_classes):
+    """Compiled argmax+palette mapping, cached per model (ships (H,W,3)
+    uint8 instead of (H,W,C) float probabilities)."""
+    key = (model, num_classes)
+    if key not in _COLORED_CACHE:
+        def colored(p, x):
+            probs = model.apply(p, x)
+            ids = jnp.argmax(probs[0, :, :, :num_classes], axis=-1)
+            return C.class_to_colored_device(ids, num_classes)
+
+        _COLORED_CACHE.clear()
+        _COLORED_CACHE[key] = jax.jit(colored)
+    return _COLORED_CACHE[key]
 
 
 def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30) -> int:

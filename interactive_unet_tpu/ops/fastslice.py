@@ -146,9 +146,20 @@ class PackedVolume:
             order, D, H, W, int(slice_width))
 
     def extract_slicer(self, slicer, axis: int = 0, slice_width: int = 256,
-                       order: int = 1) -> jax.Array:
+                       order: int = 1, as_uint8: bool = False) -> jax.Array:
         """Extract using a Slicer's current frame (axis convention of
-        slicer.get_interpolation_coords: 0->(v,w), 1->(u,w), 2->(u,v))."""
+        slicer.get_interpolation_coords: 0->(v,w), 1->(u,w), 2->(u,v)).
+
+        ``as_uint8`` rounds on device (scipy casts interpolated values back
+        to the uint8 input dtype the same way) — and ships 4x fewer bytes."""
         pairs = ((slicer.v, slicer.w), (slicer.u, slicer.w), (slicer.u, slicer.v))
         a, b = pairs[axis]
-        return self.extract_oriented(a, b, slicer.origin, slice_width, order)
+        out = self.extract_oriented(a, b, slicer.origin, slice_width, order)
+        if as_uint8:
+            out = _round_u8(out)
+        return out
+
+
+@jax.jit
+def _round_u8(x):
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)

@@ -57,11 +57,13 @@ class VolumeData:
         return self
 
     def get_slice_resident(self, axis=0, slice_width=256, order=1):
-        """Device-resident slice extraction (no host bbox fetch)."""
+        """Device-resident slice extraction (no host bbox fetch).  Rounds to
+        uint8 on device — both the scipy-parity cast for a uint8 volume and
+        a 4x smaller device->host transfer."""
         self.resident()
         out = self._flat_dev.extract_slicer(self.slicer, axis=axis,
                                             slice_width=slice_width,
-                                            order=order)
+                                            order=order, as_uint8=True)
         return np.asarray(out)
 
     # -- annotation volume construction ------------------------------------
