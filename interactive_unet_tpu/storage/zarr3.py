@@ -62,18 +62,13 @@ _CRC32C_TABLE = _make_crc32c_table()
 
 
 def crc32c(data: bytes) -> int:
-    crc = np.uint32(0xFFFFFFFF)
+    """Pure-python fallback (shard indexes are ~100s of bytes); the native
+    C++ slicing-by-8 implementation overrides this when built."""
     table = _CRC32C_TABLE
-    arr = np.frombuffer(data, dtype=np.uint8)
     crc_val = 0xFFFFFFFF
-    for b in arr.tobytes():  # fallback loop; native path overrides this
+    for b in data:
         crc_val = (crc_val >> 8) ^ int(table[(crc_val ^ b) & 0xFF])
     return crc_val ^ 0xFFFFFFFF
-
-
-def _crc32c_numpy(data: bytes) -> int:
-    """Vectorized-ish crc32c — still sequential by nature; use native if hot."""
-    return crc32c(data)
 
 
 _NATIVE = None
