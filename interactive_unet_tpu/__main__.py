@@ -33,6 +33,8 @@ def main(argv=None):
     p_app.add_argument("--port", type=int, default=None)
     p_app.add_argument("--resident", action="store_true",
                        help="keep volumes HBM-resident (fast slicing)")
+    p_app.add_argument("--no-warmup", action="store_true",
+                       help="skip the background compile warmup at startup")
 
     p_train = sub.add_parser("train", help="run one training job")
     p_train.add_argument("--kwargs", required=True,
@@ -63,7 +65,8 @@ def main(argv=None):
 
         app_main(root=getattr(args, "root", "."),
                  port=getattr(args, "port", None),
-                 resident=getattr(args, "resident", False))
+                 resident=getattr(args, "resident", False),
+                 warmup=not getattr(args, "no_warmup", False))
     elif args.cmd == "train":
         from .engine.trainer import train_model
 

@@ -8,7 +8,7 @@ for the "retrain in seconds" goal (SURVEY hard part #2).
 Here the ENTIRE run is one jit-compiled program:
 
     scan over epochs:
-        device-side shuffle (jax.random.permutation)
+        device-side shuffle (key-sort: real samples shuffled first, pads last)
         scan over train steps: fused augmentation -> bf16 forward ->
                                weighted loss -> AdamW update
         scan over val batches: loss + rounded Dice/IoU/MCC
@@ -16,10 +16,19 @@ Here the ENTIRE run is one jit-compiled program:
         reference trainer.py:46-49)
 
 One dispatch, one device->host transfer (the per-epoch metric table +
-final/best params).  Short trailing batches are padded with slots whose
-labels/weights are zeroed, which is exact for the weighted loss/metric suite
-(the denominator is sum(weight)).  Compiles once per (N, batch, epochs,
-shape) signature and is cached in-process across retrain clicks.
+final/best params).
+
+Compile-stability: the program is shaped by a CAPACITY (dataset buffers
+padded up to a bucket size), while the *actual* sample counts are traced
+int32 scalars — so saving one more annotation does NOT recompile; only
+crossing a power-of-two bucket does.  Batches are masked exactly:
+  - padded slots inside a batch carry zero labels/weights, which is exact
+    for the weighted loss/metric suite (the denominator is sum(weight));
+  - all-pad batches skip the optimizer update entirely (no phantom AdamW
+    weight-decay steps) and are excluded from the epoch means;
+  - epoch means weight each batch by its real-sample count, matching
+    Lightning's batch-size-weighted epoch aggregation (reference
+    unet.py:75-86 logging semantics).
 """
 
 from __future__ import annotations
@@ -40,6 +49,30 @@ def _num_batches(n: int, batch: int) -> int:
     return max(1, math.ceil(n / batch))
 
 
+def capacity_bucket(n: int, batch_size: int) -> int:
+    """Smallest power-of-two multiple of batch_size holding n samples.
+    Using bucketed capacities keeps the fused program's signature stable as
+    the dataset grows sample-by-sample."""
+    cap = max(batch_size, 1)
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def pad_to_capacity(arrs, capacity: int):
+    """Zero-pad each (N, ...) array up to capacity rows."""
+    import numpy as np
+
+    out = []
+    for a in arrs:
+        n = a.shape[0]
+        if n < capacity:
+            pad = np.zeros((capacity - n, *a.shape[1:]), a.dtype)
+            a = np.concatenate([np.asarray(a), pad], axis=0)
+        out.append(a)
+    return out
+
+
 def _metrics(pred, y, w):
     yr, pr = jnp.round(y), jnp.round(pred)
     return jnp.stack([
@@ -53,9 +86,15 @@ def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
                         batch_size: int, epochs: int, batch_sharding=None,
                         remat: bool = False):
     """Returns jit fn(params, opt_state, best_params, best_val, key,
-    x_tr, y_tr, w_tr, x_va, y_va, w_va)
+    x_tr, y_tr, w_tr, x_va, y_va, w_va[, n_tr, n_va])
     -> (final_params, opt_state, best_params, best_val, logs); logs has shape
     (epochs, 8): [train Loss/Dice/IoU/MCC, val Loss/Dice/IoU/MCC].
+
+    ``n_train``/``n_val`` are the buffer CAPACITIES (the static shapes of the
+    data arrays); the optional trailing ``n_tr``/``n_va`` arguments are the
+    actual live sample counts (default: the full capacity) and may be traced
+    scalars — growing the dataset within a capacity bucket reuses the
+    compiled program.
 
     The (params, opt_state, best_params, best_val) carry is an explicit
     input/output so callers can run one fused dispatch per epoch (keeping the
@@ -81,25 +120,36 @@ def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
                         for t in out)
         return out
 
+    def where_tree(pred, a, b):
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(pred, x, y), a, b)
+
     # rematerialization trades FLOPs for activation memory: lets large
     # batches / large inputs fit HBM at ~1.3x step cost
     apply_fn = (jax.checkpoint(model.apply) if remat else model.apply)
 
     def fused(params, opt_state, best_params, best_val, key,
-              x_tr, y_tr, w_tr, x_va, y_va, w_va):
+              x_tr, y_tr, w_tr, x_va, y_va, w_va,
+              n_tr=n_train, n_va=n_val):
 
         def epoch_body(carry, key):
             params, opt_state, best_params, best_val = carry
             k_perm, k_aug = jax.random.split(key)
 
-            # device-side shuffle; indices >= n_train are weight-masked pads
-            perm = jax.random.permutation(k_perm, pad_train)
+            # Device-side shuffle with the real samples first: sort indices
+            # by (is_pad, random).  The leading ceil(n/batch) batches then
+            # reproduce exactly the reference's "shuffle n, batch, pad the
+            # last partial batch"; trailing all-pad batches are masked out.
+            r = jax.random.uniform(k_perm, (pad_train,))
+            sort_key = jnp.where(jnp.arange(pad_train) < n_tr, r, 2.0 + r)
+            perm = jnp.argsort(sort_key)
             batches = perm.reshape(steps, batch_size)
 
             def train_step(carry, inp):
                 params, opt_state = carry
                 idx, k = inp
-                xb, yb, wb = gather(x_tr, y_tr, w_tr, idx, n_train)
+                cnt = jnp.sum(idx < n_tr)
+                xb, yb, wb = gather(x_tr, y_tr, w_tr, idx, n_tr)
                 xa, ya, wa = aug.augment_batch(k, xb, yb, wb)
 
                 def lfn(p):
@@ -108,30 +158,38 @@ def make_fused_train_fn(model, loss_fn, optimizer, n_train: int, n_val: int,
 
                 (loss, pred), grads = jax.value_and_grad(
                     lfn, has_aux=True)(params)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                updates, new_opt = optimizer.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                # an all-pad batch must be a true no-op (no AdamW decay step)
+                live = cnt > 0
+                params = where_tree(live, new_params, params)
+                opt_state = where_tree(live, new_opt, opt_state)
                 stats = jnp.concatenate([loss[None], _metrics(pred, ya, wa)])
-                return (params, opt_state), stats
+                return (params, opt_state), (stats, cnt)
 
             keys = jax.random.split(k_aug, steps)
-            (params, opt_state), tr_stats = jax.lax.scan(
+            (params, opt_state), (tr_stats, tr_cnt) = jax.lax.scan(
                 train_step, (params, opt_state), (batches, keys))
-            tr_mean = jnp.mean(tr_stats, axis=0)
+            tr_w = tr_cnt.astype(jnp.float32)
+            tr_mean = (jnp.sum(tr_stats * tr_w[:, None], axis=0)
+                       / jnp.maximum(jnp.sum(tr_w), 1.0))
 
             def val_step(_, idx):
-                xb, yb, wb = gather(x_va, y_va, w_va, idx, n_val)
+                cnt = jnp.sum(idx < n_va)
+                xb, yb, wb = gather(x_va, y_va, w_va, idx, n_va)
                 pred = model.apply(params, xb)
                 loss = loss_fn(pred, yb, wb, AXES)
-                return None, jnp.concatenate([loss[None],
-                                              _metrics(pred, yb, wb)])
+                return None, (jnp.concatenate([loss[None],
+                                               _metrics(pred, yb, wb)]), cnt)
 
             val_idx = jnp.arange(pad_val).reshape(val_steps, batch_size)
-            _, va_stats = jax.lax.scan(val_step, None, val_idx)
-            va_mean = jnp.mean(va_stats, axis=0)
+            _, (va_stats, va_cnt) = jax.lax.scan(val_step, None, val_idx)
+            va_w = va_cnt.astype(jnp.float32)
+            va_mean = (jnp.sum(va_stats * va_w[:, None], axis=0)
+                       / jnp.maximum(jnp.sum(va_w), 1.0))
 
             better = va_mean[0] < best_val
-            best_params = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(better, p, b), best_params, params)
+            best_params = where_tree(better, params, best_params)
             best_val = jnp.where(better, va_mean[0], best_val)
 
             return ((params, opt_state, best_params, best_val),

@@ -22,6 +22,9 @@ TPU-first re-design:
 
 from __future__ import annotations
 
+import functools
+import zlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,39 +35,10 @@ from ..ops import colors as C
 from ..ops import metrics as M
 
 
-class Suggestor:
-    """Caches compiled programs and warm-started params across strokes."""
-
-    def __init__(self, num_channels: int = 1, num_classes: int = 2,
-                 steps: int = 30, lr: float = 1e-4, seed: int = 0,
-                 encoder_name: str = "cnn_s"):
-        self.num_channels = num_channels
-        self.num_classes = num_classes
-        self.steps = steps
-        self.lr = lr
-        self.seed = seed
-        self.encoder_name = encoder_name
-        self.model = build_model(architecture="U-Net",
-                                 encoder_name=encoder_name,
-                                 num_channels=num_channels,
-                                 num_classes=num_classes,
-                                 dtype=jnp.bfloat16)
-        self.params = None
-        self._fit_fn = None
-        self._init_params = None
-        self._x_dev = None
-        self._x_key = None
-        self._key = jax.random.key(seed)
-
-    # -- compiled program ---------------------------------------------------
-
-    def _build_fit_fn(self):
+def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float):
         import optax
 
-        model = self.model
-        optimizer = optax.adamw(self.lr)
-        steps = self.steps
-        num_classes = self.num_classes
+        optimizer = optax.adamw(lr)
 
         def fit_and_predict(params, init_params, key, x, mask_u8, colors_u8):
             """x (1,H,W,C) image; mask_u8 (H,W,3); colors_u8 (K,3) palette
@@ -120,13 +94,53 @@ class Suggestor:
             class_ids = jnp.argmax(pred[0], axis=-1).astype(jnp.int32)
             return best_params, class_ids, best_loss, losses
 
-        return jax.jit(fit_and_predict)
+        return fit_and_predict
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_program(encoder_name: str, num_channels: int, num_classes: int,
+                      steps: int, lr: float):
+    """(model, jitted fit-and-predict) shared across ALL Suggestor instances.
+
+    The session discards its Suggestor on every slice change (params must
+    reset, reference app.py:387/396); caching the compiled program at module
+    level means that never triggers a recompile — only the very first
+    (encoder, channels, classes) combination pays the XLA compile."""
+    model = build_model(architecture="U-Net", encoder_name=encoder_name,
+                        num_channels=num_channels, num_classes=num_classes,
+                        dtype=jnp.bfloat16)
+    return model, jax.jit(_make_fit_and_predict(model, num_classes, steps, lr))
+
+
+class Suggestor:
+    """Per-slice few-shot state; compiled programs are shared module-wide."""
+
+    def __init__(self, num_channels: int = 1, num_classes: int = 2,
+                 steps: int = 30, lr: float = 1e-4, seed: int = 0,
+                 encoder_name: str = "cnn_s"):
+        self.num_channels = num_channels
+        self.num_classes = num_classes
+        self.steps = steps
+        self.lr = lr
+        self.seed = seed
+        self.encoder_name = encoder_name
+        self.model, self._fit_fn = _compiled_program(
+            encoder_name, num_channels, num_classes, steps, lr)
+        self.params = None
+        self._init_params = None
+        self._x_dev = None
+        self._x_key = None
+        self.x_uploads = 0  # host->device image transfers (test observable)
+        self._key = jax.random.key(seed)
 
     # -- public API ---------------------------------------------------------
 
-    def make_suggestions(self, image_features, mask):
+    def make_suggestions(self, image_features, mask, slice_token=None):
         """image_features: (1,1,H,W)/(H,W)/(1,H,W,C) float image in [0,1];
-        mask: (H,W,3) RGB stroke mask.  Returns (suggestion RGB, self)."""
+        mask: (H,W,3) RGB stroke mask; slice_token: owner-provided generation
+        id of the current slice — the image is re-uploaded to device only
+        when it changes (falls back to a content checksum when omitted).
+        Returns (suggestion RGB, self)."""
         mask = np.asarray(mask)
         image_size = mask.shape[0]
         unique_colors = C.get_unique_colors(mask)[1:]
@@ -146,18 +160,25 @@ class Suggestor:
             x = np.moveaxis(x, 1, -1)  # NCHW -> NHWC
 
         if num_classes != self.num_classes or self.num_channels != x.shape[-1]:
+            uploads = self.x_uploads
             self.__init__(num_channels=x.shape[-1], num_classes=num_classes,
                           steps=self.steps, lr=self.lr, seed=self.seed,
                           encoder_name=self.encoder_name)
+            self.x_uploads = uploads
 
-        if self._fit_fn is None:
-            self._fit_fn = self._build_fit_fn()
-
-        # the slice image is constant across strokes: upload once
-        x_key = (id(image_features), x.shape)
+        # The slice image is constant across strokes: upload once per slice.
+        # The owner (SessionState) passes its slice-generation token; without
+        # one, fall back to a content checksum (never object identity —
+        # id() recycles after GC and can alias a *different* image).
+        if slice_token is None:
+            slice_token = zlib.adler32(x.tobytes())
+        x_key = (slice_token, x.shape)
         if self._x_key != x_key:
             self._x_dev = jnp.asarray(x)
             self._x_key = x_key
+            self.x_uploads += 1
+            self.params = None        # warm-start is only valid within a slice
+            self._init_params = None
         if self._init_params is None:
             self._key, k_init = jax.random.split(self._key)
             self._init_params = self.model.init(k_init, self._x_dev)

@@ -140,6 +140,18 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
 
     x_tr, y_tr, w_tr = _stack(train_ann, cfg.num_classes)
     x_va, y_va, w_va = _stack(val_ann, cfg.num_classes)
+    n_tr, n_va = len(x_tr), len(x_va)
+
+    # pad the dataset buffers to a power-of-two capacity bucket: the fused
+    # program's signature stays fixed as samples accumulate, so saving one
+    # more annotation doesn't recompile (engine/fused_train.py)
+    from .fused_train import capacity_bucket, make_fused_train_fn, \
+        pad_to_capacity
+
+    cap_tr = capacity_bucket(n_tr, cfg.batch_size)
+    cap_va = capacity_bucket(n_va, cfg.batch_size)
+    x_tr, y_tr, w_tr = pad_to_capacity((x_tr, y_tr, w_tr), cap_tr)
+    x_va, y_va, w_va = pad_to_capacity((x_va, y_va, w_va), cap_va)
 
     key = jax.random.key(seed)
     params = model.init(jax.random.key(seed + 1), jnp.zeros_like(jnp.asarray(x_tr[:1])))
@@ -148,7 +160,9 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         params = serialization.from_state_dict(params, state_dict)
 
     loss_fn = M.loss_name_to_function(cfg.loss_function_name)
-    optimizer = optax.adamw(cfg.lr)
+    # lr rides inside opt_state (traced), so changing it on a retrain click
+    # (reference trainer.py:32-35 lr override) reuses the compiled program
+    optimizer = optax.inject_hyperparams(optax.adamw)(learning_rate=cfg.lr)
     opt_state = optimizer.init(params)
 
     if mesh is not None:
@@ -162,10 +176,8 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
 
     # one fused XLA program per epoch: all steps + val + best-params tracking
     # run on device; the host sees 8 floats per epoch (engine/fused_train.py)
-    from .fused_train import make_fused_train_fn
-
     epoch_fn = make_fused_train_fn(model, loss_fn, optimizer,
-                                   n_train=len(x_tr), n_val=len(x_va),
+                                   n_train=cap_tr, n_val=cap_va,
                                    batch_size=cfg.batch_size, epochs=1,
                                    batch_sharding=batch_sharding)
 
@@ -180,7 +192,7 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
 
     logger = CSVHistoryLogger(root)
     history = []
-    steps_per_epoch = max(1, -(-len(x_tr) // cfg.batch_size))
+    steps_per_epoch = max(1, -(-n_tr // cfg.batch_size))
 
     # remove the stale checkpoint exactly like the reference (trainer.py:42-43)
     if model_path.is_file():
@@ -194,7 +206,8 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     for epoch in range(cfg.epochs):
         key, sub = jax.random.split(key)
         params, opt_state, best_params, best_val, logs = epoch_fn(
-            params, opt_state, best_params, best_val, sub, *data)
+            params, opt_state, best_params, best_val, sub, *data,
+            jnp.int32(n_tr), jnp.int32(n_va))
         row = np.asarray(logs[0])  # single d2h per epoch
         train_row = dict(zip(names, map(float, row[:4])))
         val_row = dict(zip(names, map(float, row[4:])))

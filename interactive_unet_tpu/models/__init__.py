@@ -16,4 +16,8 @@ encoders) with a from-scratch flax implementation designed for TPU:
 single entry point; see ARCHITECTURES/ENCODERS for the registry.
 """
 
+from ..jaxsetup import enable_compile_cache as _ecc
+_ecc()
+del _ecc
+
 from .registry import ARCHITECTURES, ENCODERS, build_model  # noqa: F401

@@ -8,5 +8,9 @@ all-reduce over ICI), optionally spatially shards H over a ``space`` axis
 across devices.
 """
 
+from ..jaxsetup import enable_compile_cache as _ecc
+_ecc()
+del _ecc
+
 from .mesh import make_mesh, batch_sharding, replicated  # noqa: F401
 from .train import make_sharded_train_step  # noqa: F401

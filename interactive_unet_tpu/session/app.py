@@ -224,11 +224,12 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
     return app
 
 
-def main(root: str = ".", port: int | None = None, resident: bool = False):
+def main(root: str = ".", port: int | None = None, resident: bool = False,
+         warmup: bool = True):
     from aiohttp import web
 
     port = port or int(np.random.randint(20000, 40000))
-    app = build_app(root=root, resident=resident, warmup=True)
+    app = build_app(root=root, resident=resident, warmup=warmup)
     print(f"interactive_unet_tpu running on http://localhost:{port}")
     web.run_app(app, port=port)
 

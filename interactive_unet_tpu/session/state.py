@@ -52,6 +52,8 @@ class SessionState:
 
         self.annotator = Annotator(canvas_size)
         self.image_slice = None
+        self._image_features = None
+        self.slice_generation = 0
 
         # UI-equivalent settings (reference app.py:158-227)
         self.color_idx = 1
@@ -79,7 +81,9 @@ class SessionState:
 
     @property
     def image_features(self):
-        return (self.image_slice / 255).astype("float32")
+        if self._image_features is None:
+            self._image_features = (self.image_slice / 255).astype("float32")
+        return self._image_features
 
     def _refresh_slice(self):
         vd = self.dataset[self.volume_index]
@@ -89,6 +93,8 @@ class SessionState:
             slice_width=self.input_size, order=1).astype("uint8")
         self.annotator.set_image(
             np.repeat(self.image_slice[:, :, None], 3, axis=2))
+        self._image_features = None
+        self.slice_generation += 1  # upload-cache token (one per slice)
         self.suggestor_model = None
 
     def randomize(self):
@@ -232,7 +238,8 @@ class SessionState:
                     self.suggestor_model = Suggestor(num_channels=1,
                                                      num_classes=2)
                 suggestion, model = self.suggestor_model.make_suggestions(
-                    self.image_features, self.annotator.mask)
+                    self.image_features, self.annotator.mask,
+                    slice_token=self.slice_generation)
                 self.suggestor_model = model
                 if suggestion is not None:
                     self.annotator.overlays["live_suggestions"] = suggestion
@@ -281,6 +288,13 @@ class SessionState:
 
         def run():
             try:
+                # packed-slice extraction (the north-star kernel: minutes to
+                # compile cold, disk-cached afterwards — jaxsetup)
+                if self.resident and self.dataset:
+                    vd = self.dataset[self.volume_index]
+                    for order in (0, 1):
+                        vd.get_slice_resident(slice_width=self.input_size,
+                                              order=order)
                 img = np.zeros((self.input_size, self.input_size), np.float32)
                 mask = np.zeros((self.input_size, self.input_size, 3), np.uint8)
                 mask[0, 0] = C.COLORS[1]

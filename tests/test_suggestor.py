@@ -59,3 +59,35 @@ def test_warm_start_reuses_params(rng):
     assert sug.params is not None and p1 is not None
     # same compiled function object reused (no rebuild)
     assert sug._fit_fn is not None
+
+
+def test_upload_cache_uses_slice_token(rng):
+    """The image must upload to device once per slice, not once per stroke
+    (reference caches the suggestor model per slice, app.py:757-768)."""
+    s = 32
+    img = rng.random((s, s)).astype(np.float32)
+    mask = np.zeros((s, s, 3), np.uint8)
+    mask[2:6, 2:6] = C.COLORS[1]
+    mask[20:24, 20:24] = C.COLORS[2]
+
+    sug = Suggestor(num_channels=1, num_classes=2, steps=3, seed=0)
+    _, sug = sug.make_suggestions(img.copy(), mask, slice_token=7)
+    assert sug.x_uploads == 1
+    mask[10:12, 10:12] = C.COLORS[1]  # second stroke, same slice
+    # fresh host array (as SessionState.image_features produces) — the token,
+    # not object identity, must drive the cache
+    _, sug = sug.make_suggestions(img.copy(), mask, slice_token=7)
+    assert sug.x_uploads == 1
+    # slice change -> re-upload + params reset
+    img2 = rng.random((s, s)).astype(np.float32)
+    _, sug = sug.make_suggestions(img2, mask, slice_token=8)
+    assert sug.x_uploads == 2
+
+
+def test_compiled_program_shared_across_instances():
+    """Slice changes discard the Suggestor instance; the compiled program
+    must survive (module-level cache), or every slice change recompiles."""
+    a = Suggestor(num_channels=1, num_classes=2, steps=3, seed=0)
+    b = Suggestor(num_channels=1, num_classes=2, steps=3, seed=1)
+    assert a._fit_fn is b._fit_fn
+    assert a.model is b.model
