@@ -1,102 +1,123 @@
-"""Benchmark: oriented-slice sampling throughput (the north-star kernel).
+"""Benchmark: all four BASELINE metrics, each as ONE JSON line on stdout.
 
-Compares the TPU-native packed single-gather slicer (ops/fastslice.py)
-against the reference's CPU path (scipy.ndimage.map_coordinates over a
-bounding-box block — reference slicer.py:224-226) on random-orientation
-512x512 trilinear slices of a 512^3 volume.
+1. oriented_trilinear_slice_sampling_512 — packed single-gather slicer
+   (ops/fastslice.py) vs scipy map_coordinates CPU (reference
+   slicer.py:204-226), slices/s.  HARD parity gate: uint8 voxel-exact vs
+   scipy for orders 0 and 1 (exit 1 on any mismatch).
+2. retrain_roundtrip_4x512 — full train_model() click on 4 saved 512^2
+   samples, 10 epochs (reference trainer.py:12-63); vs_baseline = 2.0/t
+   against the BASELINE.json "<2 s retrain" target.
+3. suggestor_per_stroke_512 — steady-state make_suggestions latency on a
+   512^2 slice (reference suggestor.py:43-115, 30 AdamW steps);
+   vs_baseline = 2.0/t against the same interactivity target.
+4. fullvolume_inference_512 — predict_volumes over a real 512^3 zarr volume
+   (reference predict.py:114-264); vs_baseline = extrapolated CPU time /
+   TPU time, where the CPU reference is the SAME pipeline measured on the
+   jax CPU backend over a 128^3 volume in a subprocess and scaled by voxel
+   count (BASELINE target >= 10x).  Includes a TPU-vs-CPU Dice parity gate
+   on the 128^3 volume (voxel-exact claim; gate Dice >= 0.99).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline > 1 means faster than the reference CPU implementation.
+Conventions: min-of-reps timing on both sides (the tunnel runtime has large
+scheduling noise); the jax persistent compilation cache (jaxsetup) is active
+so compile costs are once-per-machine, and every metric is measured on its
+second call (steady state).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
+from pathlib import Path
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+WS = Path(os.environ.get("IUNET_BENCH_WS", "/tmp/iunet_bench"))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(float(value), 3),
+                      "unit": unit,
+                      "vs_baseline": round(float(vs_baseline), 2)}),
+          flush=True)
+
+
+# ---------------------------------------------------------------------------
+# 1. slice sampling + parity gate
+# ---------------------------------------------------------------------------
+
+def bench_slice_sampling():
     from scipy import ndimage
 
+    from interactive_unet_tpu.ops.fastslice import PackedVolume
     from interactive_unet_tpu.ops.slicer import Slicer
 
-    N = 512          # volume edge (BASELINE: 512^3 volumes)
-    S = 512          # slice width (BASELINE: 512^2 patches)
-    REPS = 30        # device reps
-    CPU_REPS = 5     # scipy reps (the bbox copy is slow by design)
-
+    N, S, REPS, CPU_REPS = 512, 512, 30, 5
     rng = np.random.default_rng(0)
     vol = (rng.random((N, N, N)) * 255).astype(np.uint8)
-    log(f"volume {vol.shape} uint8, slice {S}x{S}, order=1, platform="
-        f"{jax.default_backend()}")
+    log(f"[slice] volume {vol.shape} uint8, slice {S}x{S}")
 
     slicer = Slicer(vol.shape, seed=1)
-    coords_list = []
-    for _ in range(max(REPS, CPU_REPS)):
+    frames = []
+    for _ in range(REPS):
         slicer.randomize()
-        coords_list.append(
-            slicer.get_interpolation_coords(slice_width=S)[0].astype(np.float32))
+        frames.append((slicer.v.copy(), slicer.w.copy(), slicer.origin.copy(),
+                       slicer.get_interpolation_coords(S)[0]))
 
-    # --- baseline: scipy CPU (reference slicer.py:204-226 bbox path) -------
-    def scipy_slice(coords):
+    def scipy_slice(coords, order=1, out_dtype=None):
         lower = np.floor(coords.min(axis=(1, 2))).astype(int)
         upper = np.ceil(coords.max(axis=(1, 2))).astype(int)
         i0, j0, k0 = np.maximum(lower, 0)
         i1, j1, k1 = np.minimum(upper, vol.shape)
-        shift = np.array([i0, j0, k0], dtype=float)
-        return ndimage.map_coordinates(vol[i0:i1, j0:j1, k0:k1],
-                                       coords - shift[:, None, None], order=1)
+        shift = np.array([i0, j0, k0], dtype=coords.dtype)
+        return ndimage.map_coordinates(
+            vol[i0:i1, j0:j1, k0:k1], coords - shift[:, None, None],
+            order=order, output=out_dtype)
 
-    scipy_slice(coords_list[0])  # warm cache
+    # -- baseline timing (scipy returns uint8, exactly like the reference) --
+    c32 = [f[3].astype(np.float32) for f in frames]
+    scipy_slice(c32[0])
     cpu_times = []
-    for c in coords_list[:CPU_REPS]:
+    for c in c32[:CPU_REPS]:
         t0 = time.perf_counter()
         scipy_slice(c)
         cpu_times.append(time.perf_counter() - t0)
-    t_cpu = min(cpu_times)  # min-of-reps on both sides (fair under load)
-    log(f"scipy CPU: {t_cpu * 1e3:.2f} ms/slice "
-        f"(reps: {[f'{t * 1e3:.1f}' for t in cpu_times]})")
-
-    # --- ours: packed-neighborhood single-gather kernel (ops/fastslice) ----
-    from interactive_unet_tpu.ops.fastslice import PackedVolume
+    t_cpu = min(cpu_times)
+    log(f"[slice] scipy CPU: {t_cpu * 1e3:.2f} ms/slice")
 
     t0 = time.perf_counter()
     pv = PackedVolume(vol)
-    log(f"pack_volume: {time.perf_counter() - t0:.1f} s (one-time per volume)")
+    log(f"[slice] pack_volume: {time.perf_counter() - t0:.1f} s (once/volume)")
 
-    slicer2 = Slicer(vol.shape, seed=1)
-    frames = []
-    for _ in range(REPS):
-        slicer2.randomize()
-        frames.append((slicer2.v.copy(), slicer2.w.copy(),
-                       slicer2.origin.copy(),
-                       slicer2.get_interpolation_coords(S)[0]))
+    # -- parity gate: uint8 voxel-exact on IDENTICAL f32 coords -------------
+    # (scipy on a uint8 volume rounds its f64 interpolant back to uint8 —
+    # the round-1 "0.51 drift" was comparing floats against that rounding)
+    for order in (0, 1):
+        dev = np.asarray(pv.extract(c32[0], order=order))
+        dev_u8 = np.clip(np.round(dev), 0, 255).astype(np.uint8)
+        ref_u8 = scipy_slice(c32[0].astype(np.float64), order=order)
+        ref_f = scipy_slice(c32[0].astype(np.float64), order=order,
+                            out_dtype=np.float64)
+        mism = int((dev_u8 != ref_u8).sum())
+        ferr = float(np.abs(dev - ref_f).max())
+        log(f"[slice] parity order={order}: float err {ferr:.2e}, "
+            f"uint8 mismatches {mism}/{dev.size}")
+        if mism or ferr > 1e-2:
+            log("[slice] FAIL: TPU slice extraction is not voxel-exact")
+            sys.exit(1)
 
-    a, b, o, c0 = frames[0]
-    log("compiling extract_oriented...")
-    t0 = time.perf_counter()
-    out = pv.extract_oriented(a, b, o, S, 1)
-    got = np.asarray(out)  # compile + d2h parity sample
-    log(f"compile+first run: {time.perf_counter() - t0:.1f} s")
-    ref = scipy_slice(c0.astype(np.float32)).astype(np.float32)
-    err = np.abs(ref - got).max()
-    log(f"max abs err vs scipy: {err:.4f}")
-    if err > 1.0:
-        log("WARNING: parity drift > 1 grey level")
-
-    # Throughput timing: queue a round of dispatches, force completion with a
-    # d2h read of the final result (in-order execution covers the round).
+    # -- device throughput ---------------------------------------------------
+    a, b, o, _ = frames[0]
+    np.asarray(pv.extract_oriented(a, b, o, S, 1))  # compile/warm
     rounds = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -105,19 +126,211 @@ def main():
             last = pv.extract_oriented(a, b, o, S, 1)
         np.asarray(last).ravel()[:1]
         rounds.append((time.perf_counter() - t0) / REPS)
-    # min-of-rounds: the least-interference estimate of kernel throughput
-    # (the remote-tunnel runtime adds large, occasional scheduling noise)
     t_dev = min(rounds)
-    log(f"device: {t_dev * 1e3:.3f} ms/slice (rounds: "
-        f"{[f'{r * 1e3:.3f}' for r in rounds]})")
+    log(f"[slice] device: {t_dev * 1e3:.3f} ms/slice")
+    emit("oriented_trilinear_slice_sampling_512", 1.0 / t_dev, "slices/s",
+         t_cpu / t_dev)
 
-    slices_per_s = 1.0 / t_dev
-    print(json.dumps({
-        "metric": "oriented_trilinear_slice_sampling_512",
-        "value": round(slices_per_s, 2),
-        "unit": "slices/s",
-        "vs_baseline": round(t_cpu / t_dev, 2),
-    }))
+
+# ---------------------------------------------------------------------------
+# workspace with saved 512^2 samples + volumes
+# ---------------------------------------------------------------------------
+
+def make_workspace():
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.ops.slicer import Slicer
+    from interactive_unet_tpu.ops import colors as C
+    from interactive_unet_tpu import storage
+    from scipy import ndimage as ndi
+
+    if (WS / "data" / "train" / "images").is_dir() and \
+            len(list((WS / "data" / "train" / "images").glob("*.tiff"))) >= 4:
+        log(f"[ws] reusing workspace {WS}")
+        return
+
+    log(f"[ws] building workspace {WS} (512^3 volume + 4 samples)")
+    samples.create_directories(WS)
+    rng = np.random.default_rng(0)
+    base = rng.normal(0, 1, (64, 64, 64)).astype(np.float32)
+    base = ndi.gaussian_filter(base, 2.0)
+    vol = ndi.zoom(base, 8, order=1)
+    vol = (vol > np.percentile(vol, 70)).astype(np.float32) * 180 + 40
+    vol += rng.normal(0, 6, vol.shape)
+    vol = np.clip(vol, 1, 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, WS / "data" / "image_volumes" / "bench_volume.zarr")
+
+    slicer = Slicer(vol.shape, seed=2)
+    for _ in range(4):
+        slicer.randomize()
+        img = slicer.get_slice(vol, slice_width=512, order=1).astype(np.uint8)
+        mask = np.zeros((512, 512, 3), np.uint8)
+        mask[img > 110] = C.COLORS[2]
+        mask[img <= 110] = C.COLORS[1]
+        # leave some pixels unlabeled (realistic stroke coverage)
+        unl = rng.random((512, 512)) > 0.3
+        mask[unl] = 0
+        samples.save_sample(img, mask,
+                            {"volume": "bench_volume",
+                             "slicer": slicer.to_dict()}, 2, root=WS)
+
+
+def bench_retrain():
+    from interactive_unet_tpu.engine.trainer import train_model
+
+    kwargs = dict(lr=1e-4, batch_size=2, epochs=10, num_channels=1,
+                  num_classes=2, loss_function_name="MCC + CE",
+                  architecture="U-Net", encoder_name="cnn_m", root=WS)
+    log("[retrain] first click (compile)...")
+    t0 = time.perf_counter()
+    train_model(**kwargs)
+    log(f"[retrain] first: {time.perf_counter() - t0:.1f} s")
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = train_model(**kwargs)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    log(f"[retrain] steady-state click: {t:.2f} s "
+        f"(best val loss {out['best_val_loss']:.4f})")
+    emit("retrain_roundtrip_4x512", t, "s", 2.0 / t)
+
+
+def bench_suggestor():
+    from interactive_unet_tpu.engine.suggestor import Suggestor
+    from interactive_unet_tpu.ops import colors as C
+
+    rng = np.random.default_rng(0)
+    img = rng.random((512, 512)).astype(np.float32)
+    mask = np.zeros((512, 512, 3), np.uint8)
+    mask[64:128, 64:256] = C.COLORS[1]
+    mask[300:420, 260:460] = C.COLORS[2]
+
+    sug = Suggestor(num_channels=1, num_classes=2)
+    log("[suggestor] first stroke (compile)...")
+    t0 = time.perf_counter()
+    sug.make_suggestions(img, mask, slice_token=1)
+    log(f"[suggestor] first: {time.perf_counter() - t0:.1f} s")
+    times = []
+    for i in range(3):
+        mask[200 + 10 * i:220 + 10 * i, 100:200] = C.COLORS[1]  # new stroke
+        t0 = time.perf_counter()
+        sug.make_suggestions(img, mask, slice_token=1)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    log(f"[suggestor] steady-state stroke: {t:.3f} s")
+    emit("suggestor_per_stroke_512", t, "s", 2.0 / t)
+
+
+# ---------------------------------------------------------------------------
+# 4. full-volume inference + CPU reference + Dice parity
+# ---------------------------------------------------------------------------
+
+_CPU_RUNNER = r"""
+import json, os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+sys.path.insert(0, sys.argv[1])
+ws = sys.argv[2]
+from interactive_unet_tpu.engine.predict import predict_volumes
+# warm + measure on the 128^3 volume (steady state: second run)
+r = predict_volumes(input_size=128, num_classes=2, root=ws)
+t0 = time.time()
+r = predict_volumes(input_size=128, num_classes=2, root=ws)
+print(json.dumps({"seconds": time.time() - t0,
+                  "blocks": r[0]["blocks"]}), flush=True)
+"""
+
+
+def bench_inference():
+    import shutil
+
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine.predict import predict_volumes
+
+    # -- small CPU-reference workspace (128^3 crop of the bench volume) ----
+    ws_small = WS / "small"
+    if not (ws_small / "data" / "image_volumes" / "crop.zarr").is_dir():
+        from interactive_unet_tpu.engine import samples as S
+        S.create_directories(ws_small)
+        vol = storage.read_volume(
+            WS / "data" / "image_volumes" / "bench_volume.zarr", level=0)
+        crop = np.asarray(vol[:128, :128, :128])
+        storage.create_multiscale_zarr(
+            crop, ws_small / "data" / "image_volumes" / "crop.zarr")
+    shutil.copytree(WS / "model", ws_small / "model", dirs_exist_ok=True)
+
+    # TPU on the 128^3 crop (for Dice parity + CPU scaling)
+    predict_volumes(input_size=128, num_classes=2, root=ws_small)
+    t0 = time.perf_counter()
+    r = predict_volumes(input_size=128, num_classes=2, root=ws_small)
+    t_tpu_small = time.perf_counter() - t0
+    tpu_small = np.asarray(storage.read_volume(
+        ws_small / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
+    log(f"[infer] TPU 128^3: {t_tpu_small:.1f} s ({r[0]['blocks']} blocks)")
+
+    # CPU reference subprocess (same pipeline, cpu backend)
+    log("[infer] measuring CPU reference on 128^3 (subprocess)...")
+    env = dict(os.environ)
+    proc = subprocess.run([sys.executable, "-c", _CPU_RUNNER, str(REPO),
+                           str(ws_small)], capture_output=True, text=True,
+                          env=env, timeout=3600)
+    if proc.returncode != 0:
+        log(proc.stderr[-2000:])
+        sys.exit(1)
+    cpu = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_cpu_small = cpu["seconds"]
+    log(f"[infer] CPU 128^3: {t_cpu_small:.1f} s")
+    cpu_small = np.asarray(storage.read_volume(
+        ws_small / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
+
+    # Dice parity gate TPU vs CPU (class masks from channel argmax)
+    a = np.argmax(tpu_small, axis=-1)
+    b = np.argmax(cpu_small, axis=-1)
+    dices = []
+    for c in range(tpu_small.shape[-1]):
+        inter = 2.0 * np.sum((a == c) & (b == c))
+        denom = np.sum(a == c) + np.sum(b == c)
+        if denom:
+            dices.append(inter / denom)
+    dice = float(np.min(dices)) if dices else 1.0
+    same = float((a == b).mean())
+    log(f"[infer] TPU-vs-CPU parity: min Dice {dice:.5f}, "
+        f"voxel agreement {same:.5f}")
+    if dice < 0.99:
+        log("[infer] FAIL: TPU/CPU Dice parity below 0.99")
+        sys.exit(1)
+
+    # -- the real metric: 512^3 on TPU ---------------------------------------
+    log("[infer] TPU 512^3 run...")
+    predict_volumes(input_size=512, num_classes=2, root=WS)  # warm/compile
+    t0 = time.perf_counter()
+    r = predict_volumes(input_size=512, num_classes=2, root=WS)
+    t_tpu = time.perf_counter() - t0
+    voxels = 512 ** 3
+    # CPU time extrapolates linearly in voxel count (same per-voxel work:
+    # 3-axis 2.5D sweeps); measured, not assumed, at 128^3
+    t_cpu_512 = t_cpu_small * (voxels / 128 ** 3)
+    log(f"[infer] TPU 512^3: {t_tpu:.1f} s ({r[0]['blocks']} blocks); "
+        f"CPU extrapolated: {t_cpu_512:.0f} s")
+    emit("fullvolume_inference_512", voxels / t_tpu / 1e6, "Mvoxels/s",
+         t_cpu_512 / t_tpu)
+
+
+def main():
+    which = sys.argv[1:] or ["slice", "retrain", "suggestor", "inference"]
+    import jax
+    log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
+    if "slice" in which:
+        bench_slice_sampling()
+    if {"retrain", "suggestor", "inference"} & set(which):
+        make_workspace()
+    if "retrain" in which:
+        bench_retrain()
+    if "suggestor" in which:
+        bench_suggestor()
+    if "inference" in which:
+        bench_inference()
 
 
 if __name__ == "__main__":

@@ -21,11 +21,35 @@ from . import samples
 from ..session.volumedata import load_dataset
 
 
+def _finish_reslice(image, mask, weight, num_classes):
+    """(S,S) u8 triple -> normalized (image, onehot, weight) training arrays
+    (reference loader.py:25-46 value semantics)."""
+    cat = C.class_to_categorical(mask, num_classes,
+                                 (weight > 0).astype(mask.dtype))
+    image = image[:, :, None] if image.ndim == 2 else image
+    weight3 = np.repeat(weight[:, :, None], num_classes, axis=2)
+
+    image = (image / 255).astype("float32")
+    cat = cat.astype("float32")
+    weight3 = (weight3 / 255).astype("float32")
+
+    void = image[:, :, 0] == 0
+    cat[void] = 0.0
+    weight3[void] = 0.0
+    return image, cat, weight3
+
+
 def load_resliced_annotations(set_type: str = "train", count: int = 100,
                               num_classes: int = 2, root: str | Path = ".",
                               slice_width: int = 512, rng=None,
-                              max_tries: int = 20):
-    """Sample ``count`` random oriented slices from annotation volumes."""
+                              max_rounds: int = 20):
+    """Sample ``count`` random oriented slices from annotation volumes.
+
+    Batched device path: per round, every volume extracts its share of
+    candidate (image, mask, weight) reslices in three gather dispatches
+    (VolumeData.sample_batch over the packed HBM tables); empty slices are
+    rejected host-side and re-drawn — the reference's per-slice rejection
+    loop (loader.py:62-68) without its 3-scipy-calls-per-try cost."""
     rng = rng or np.random.default_rng()
     dataset = load_dataset(annotations=True, root=root)
     if not dataset:
@@ -33,28 +57,22 @@ def load_resliced_annotations(set_type: str = "train", count: int = 100,
     weight_channel = 0 if set_type == "train" else 1
 
     annotations = []
-    for _ in range(count):
-        for _ in range(max_tries):  # rejection loop (reference loader.py:62-68)
-            vol_idx = int(rng.integers(len(dataset)))
-            image, mask, weight = dataset[vol_idx].sample(
-                weight_channel=weight_channel, slice_width=slice_width)
-            if weight.max() == 255 and mask.max() > 0:
-                break
-        cat = C.class_to_categorical(mask, num_classes,
-                                     (weight > 0).astype(mask.dtype))
-        image = image[:, :, None] if image.ndim == 2 else image
-        weight3 = np.repeat(weight[:, :, None], num_classes, axis=2)
-
-        image = (image / 255).astype("float32")
-        cat = cat.astype("float32") * 255  # one-hot {0,255} like saved masks
-        cat = (cat / 255).astype("float32")
-        weight3 = (weight3 / 255).astype("float32")
-
-        void = image[:, :, 0] == 0
-        cat[void] = 0.0
-        weight3[void] = 0.0
-        annotations.append((image, cat, weight3))
-    return annotations
+    for _ in range(max_rounds):
+        need = count - len(annotations)
+        if need <= 0:
+            break
+        # spread the draw over volumes; modest oversampling absorbs rejects
+        per_vol = -(-need // len(dataset))
+        for vd in dataset:
+            imgs, masks, weights, _ = vd.sample_batch(
+                per_vol, weight_channel=weight_channel,
+                slice_width=slice_width)
+            for i in range(per_vol):
+                # rejection: the slice must intersect annotated voxels
+                if weights[i].max() == 255 and masks[i].max() > 0:
+                    annotations.append(_finish_reslice(
+                        imgs[i], masks[i], weights[i], num_classes))
+    return annotations[:count]
 
 
 def assemble_training_set(set_type: str = "train", num_classes: int = 2,

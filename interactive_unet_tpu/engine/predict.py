@@ -65,7 +65,8 @@ def _load_model_uncached(root, num_channels, num_classes):
         model = build_model(architecture=cfg.architecture,
                             encoder_name=cfg.encoder_name,
                             num_channels=cfg.num_channels,
-                            num_classes=cfg.num_classes)
+                            num_classes=cfg.num_classes,
+                            pretrained=cfg.pretrained)
         dummy = jnp.zeros((1, 64, 64, cfg.num_channels), jnp.float32)
         params = model.init(jax.random.key(0), dummy)
         from flax import serialization

@@ -136,7 +136,8 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     model = build_model(architecture=cfg.architecture,
                         encoder_name=cfg.encoder_name,
                         num_channels=cfg.num_channels,
-                        num_classes=cfg.num_classes)
+                        num_classes=cfg.num_classes,
+                        pretrained=cfg.pretrained)
 
     x_tr, y_tr, w_tr = _stack(train_ann, cfg.num_classes)
     x_va, y_va, w_va = _stack(val_ann, cfg.num_classes)
@@ -158,6 +159,15 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     if resume:
         from flax import serialization
         params = serialization.from_state_dict(params, state_dict)
+    elif cfg.pretrained:
+        # graft local torch ImageNet weights when available (reference
+        # unet.py:28-31 capability; utils/torch_import.py for the contract)
+        from ..utils.torch_import import maybe_load_pretrained
+        params, n_grafted = maybe_load_pretrained(
+            params, cfg.encoder_name, num_channels=cfg.num_channels)
+        if n_grafted:
+            print(f"pretrained: grafted {n_grafted} arrays into "
+                  f"{cfg.encoder_name}")
 
     loss_fn = M.loss_name_to_function(cfg.loss_function_name)
     # lr rides inside opt_state (traced), so changing it on a retrain click

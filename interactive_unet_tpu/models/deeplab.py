@@ -60,7 +60,7 @@ class DeepLabV3Plus(nn.Module):
         full_hw = x.shape[1:3]
         feats = self.encoder(x.astype(self.dtype))
         h = ASPP(width=self.width, dtype=self.dtype)(feats[-1])
-        low = feats[2]  # stride-4 skip
+        low = feats[1]  # stride-4 skip
         h = resize_to(h, low.shape[1:3], "bilinear")
         low = ConvNormAct(self.low_width, kernel=1, dtype=self.dtype)(low)
         h = jnp.concatenate([h, low], axis=-1)

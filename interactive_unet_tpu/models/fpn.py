@@ -18,21 +18,20 @@ class FPNDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats):
-        # build laterals over strides 2..16 (feats[1:]) top-down
+        # build laterals over strides 4..32 (feats[1:]) top-down, smp-style
         laterals = [nn.Conv(self.pyramid_width, (1, 1), dtype=self.dtype)(f)
                     for f in feats[1:]]
         outs = [laterals[-1]]
         for lat in laterals[-2::-1]:
             outs.append(lat + upsample(outs[-1], 2))
-        outs = outs[::-1]  # stride 2 first
-        # segmentation branches, all resized to stride-2 resolution
+        outs = outs[::-1]  # stride 4 first
+        # segmentation branches, all merged at stride-4 resolution
         hw = feats[1].shape[1:3]
         segs = []
         for o in outs:
             s = ConvNormAct(self.segmentation_width, dtype=self.dtype)(o)
             segs.append(resize_to(s, hw, "nearest"))
-        x = sum(segs)
-        return upsample(x, 2, "bilinear")  # back to full resolution
+        return sum(segs)
 
 
 class FPN(nn.Module):
@@ -42,8 +41,10 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        full_hw = x.shape[1:3]
         feats = self.encoder(x.astype(self.dtype))
         h = FPNDecoder(dtype=self.dtype)(feats)
+        h = resize_to(h, full_hw, "bilinear")  # stride 4 -> full resolution
         return SegmentationHead(self.num_classes)(h)
 
 
@@ -83,6 +84,8 @@ class PAN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        full_hw = x.shape[1:3]
         feats = self.encoder(x.astype(self.dtype))
         h = PANDecoder(dtype=self.dtype)(feats)
+        h = resize_to(h, full_hw, "bilinear")  # stride 2 -> full resolution
         return SegmentationHead(self.num_classes)(h)

@@ -8,6 +8,15 @@ from flax import linen as nn
 
 
 class ConvNormAct(nn.Module):
+    """Conv + normalization + activation.
+
+    ``norm="none"`` yields a biased conv with no normalization — the
+    inference form of a BatchNorm'd torch block after BN folding, which is
+    what pretrained-weight import produces (utils/torch_import.py).
+    Padding is explicit symmetric (torch Conv2d convention) so stride-2
+    convs align window-for-window with torch originals.
+    """
+
     features: int
     kernel: int = 3
     stride: int = 1
@@ -15,18 +24,23 @@ class ConvNormAct(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     act: bool = True
     groups: int = 1
+    norm: str = "group"          # "group" | "none"
+    act_name: str = "relu"       # "relu" | "relu6"
 
     @nn.compact
     def __call__(self, x):
+        p = self.dilation * (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, padding="SAME")(x)
-        g = _num_groups(self.features)
-        x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
+                    use_bias=(self.norm == "none"), dtype=self.dtype,
+                    padding=((p, p), (p, p)))(x)
+        if self.norm == "group":
+            g = _num_groups(self.features)
+            x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
         if self.act:
-            x = nn.relu(x)
+            x = jax.nn.relu6(x) if self.act_name == "relu6" else nn.relu(x)
         return x
 
 
@@ -55,12 +69,14 @@ class ResidualBlock(nn.Module):
 
 
 class InvertedResidual(nn.Module):
-    """MobileNetV2-style block (expand -> depthwise -> project)."""
+    """MobileNetV2-style block (expand -> depthwise -> project), ReLU6
+    activations like the torch original (enables weight import)."""
 
     features: int
     stride: int = 1
     expand: int = 6
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
@@ -68,10 +84,12 @@ class InvertedResidual(nn.Module):
         h = x
         mid = c_in * self.expand
         if self.expand != 1:
-            h = ConvNormAct(mid, kernel=1, dtype=self.dtype)(h)
+            h = ConvNormAct(mid, kernel=1, dtype=self.dtype, norm=self.norm,
+                            act_name="relu6")(h)
         h = ConvNormAct(mid, kernel=3, stride=self.stride, groups=mid,
-                        dtype=self.dtype)(h)
-        h = ConvNormAct(self.features, kernel=1, act=False, dtype=self.dtype)(h)
+                        dtype=self.dtype, norm=self.norm, act_name="relu6")(h)
+        h = ConvNormAct(self.features, kernel=1, act=False, dtype=self.dtype,
+                        norm=self.norm)(h)
         if self.stride == 1 and c_in == self.features:
             h = h + x
         return h

@@ -37,6 +37,8 @@ class LinkNet(nn.Module):
         for skip in feats[-2::-1]:
             h = LinkNetDecoderBlock(skip.shape[-1], dtype=self.dtype)(h)
             h = h + skip.astype(h.dtype)
+        # stride 2 -> 1 (smp's final TransposeX2 block; no skip at stride 1)
+        h = LinkNetDecoderBlock(32, dtype=self.dtype)(h)
         h = ConvNormAct(32, dtype=self.dtype)(h)
         return SegmentationHead(self.num_classes)(h)
 
@@ -70,4 +72,10 @@ class MAnet(nn.Module):
             h = ConvNormAct(w, dtype=self.dtype)(h)
             h = ConvNormAct(w, dtype=self.dtype)(h)
             h = SCSE(dtype=self.dtype)(h)
+        # final light block back to stride 1 (input as shallowest skip)
+        h = upsample(h, 2)
+        h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
+        h = ConvNormAct(16, dtype=self.dtype)(h)
+        h = ConvNormAct(16, dtype=self.dtype)(h)
+        h = SCSE(dtype=self.dtype)(h)
         return SegmentationHead(self.num_classes)(h)

@@ -35,26 +35,39 @@ _BUILDERS = {
 }
 
 
-def build_encoder(encoder_name: str, dtype=jnp.bfloat16):
+# encoders whose block structure matches a torch original closely enough for
+# name-mapped pretrained weight import (utils/torch_import.py)
+IMPORTABLE_ENCODERS = {"mobilenet_v2"}
+
+
+def build_encoder(encoder_name: str, dtype=jnp.bfloat16,
+                  pretrained: bool = False):
     if encoder_name == "mit_b0":
         return MiTEncoder(dtype=dtype)
     if encoder_name not in ENCODER_BUILDERS:
         raise ValueError(
             f"unknown encoder {encoder_name!r}; available: {ENCODERS}")
+    if pretrained and encoder_name in IMPORTABLE_ENCODERS:
+        # folded-BN inference form: biased convs, no normalization — the
+        # exact function computed by the torch original in eval mode
+        from .encoders import MobileNetV2Encoder
+        return MobileNetV2Encoder(dtype=dtype, norm="none")
     return ENCODER_BUILDERS[encoder_name](dtype)
 
 
 def build_model(architecture: str = "U-Net", encoder_name: str = "cnn_m",
                 num_channels: int = 1, num_classes: int = 2,
                 dtype=jnp.bfloat16, pretrained: bool = False):
-    """Build a flax module. ``pretrained`` is accepted for config parity but
-    initializes randomly (no TPU-native ImageNet source, SURVEY hard part #4).
-    """
+    """Build a flax module.  With ``pretrained=True`` and an importable
+    encoder (IMPORTABLE_ENCODERS) the encoder is built in its folded-BN form
+    so torch ImageNet weights can be grafted in at init time
+    (utils/torch_import.maybe_load_pretrained; reference unet.py:28-31
+    capability — there is no egress here, so the torch checkpoint must exist
+    locally)."""
     del num_channels  # NHWC input channel count is inferred at init time
-    del pretrained
     if architecture not in _BUILDERS:
         raise ValueError(
             f"unknown architecture {architecture!r}; available: {ARCHITECTURES}")
-    encoder = build_encoder(encoder_name, dtype=dtype)
+    encoder = build_encoder(encoder_name, dtype=dtype, pretrained=pretrained)
     return _BUILDERS[architecture](encoder=encoder, num_classes=num_classes,
                                    dtype=dtype)

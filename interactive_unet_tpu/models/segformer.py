@@ -89,7 +89,9 @@ class MiTBlock(nn.Module):
 
 
 class MiTEncoder(nn.Module):
-    """mit_b0-scale hierarchy; emits strides (1,2,4,8,16) for decoder reuse."""
+    """mit_b0-scale hierarchy; emits strides (2,4,8,16,32) for decoder reuse
+    (feats[0] is a lightweight stride-2 patch embed; the four transformer
+    stages sit at strides 4..32 like the torch mit_b0)."""
 
     dims: Sequence[int] = (32, 64, 160, 256)
     depths: Sequence[int] = (2, 2, 2, 2)
@@ -99,7 +101,8 @@ class MiTEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        feats = [nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype)(x)]  # stride 1
+        x = OverlapPatchEmbed(16, patch=3, stride=2, dtype=self.dtype)(x)
+        feats = [x]                                            # stride 2
         for i, (dim, depth, heads, sr) in enumerate(
                 zip(self.dims, self.depths, self.heads, self.sr_ratios)):
             x = OverlapPatchEmbed(dim, patch=7 if i == 0 else 3, stride=2,

@@ -25,12 +25,18 @@ class SegmentationHead(nn.Module):
 
 
 class UNetDecoder(nn.Module):
+    """Walks the (2,4,8,16,32)-stride skip ladder, then a final light block
+    back to stride 1 with the raw input as the shallowest skip — the smp
+    decoder_channels=(256,128,64,32,16) structure.  Keeping full-resolution
+    compute to one width-16 block is the TPU MFU fix (encoders.py docstring)."""
+
     widths: Sequence[int] = (256, 128, 64, 32)
+    final_width: int = 16
     use_scse: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, image):
         x = feats[-1]
         skips = feats[:-1][::-1]  # deepest-first
         for w, skip in zip(self.widths, skips):
@@ -40,6 +46,12 @@ class UNetDecoder(nn.Module):
             x = ConvNormAct(w, dtype=self.dtype)(x)
             if self.use_scse:
                 x = SCSE(dtype=self.dtype)(x)
+        x = upsample(x, 2)
+        x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
+        x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
+        x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
+        if self.use_scse:
+            x = SCSE(dtype=self.dtype)(x)
         return x
 
 
@@ -53,9 +65,9 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         feats = self.encoder(x.astype(self.dtype))
-        x = UNetDecoder(self.decoder_widths, use_scse=self.use_scse,
-                        dtype=self.dtype)(feats)
-        return SegmentationHead(self.num_classes)(x)
+        h = UNetDecoder(self.decoder_widths, use_scse=self.use_scse,
+                        dtype=self.dtype)(feats, x)
+        return SegmentationHead(self.num_classes)(h)
 
 
 class UNetPlusPlus(nn.Module):
@@ -69,8 +81,8 @@ class UNetPlusPlus(nn.Module):
     @nn.compact
     def __call__(self, x):
         feats = self.encoder(x.astype(self.dtype))
-        depth = len(feats)  # 5
-        # grid[i][j]: node at stride 2^i, column j; column 0 = encoder feats
+        depth = len(feats)  # 5, at strides (2,4,8,16,32)
+        # grid[i][j]: node at stride 2^(i+1), column j; column 0 = encoder feats
         grid = {(i, 0): feats[i] for i in range(depth)}
         # widths indexed by row, deepest rows use larger widths
         row_w = list(self.decoder_widths[::-1]) + [feats[-1].shape[-1]]
@@ -82,4 +94,9 @@ class UNetPlusPlus(nn.Module):
                 h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
                 h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
                 grid[(i, j)] = h
-        return SegmentationHead(self.num_classes)(grid[(0, depth - 1)])
+        # final light block back to stride 1 (input as shallowest skip)
+        h = upsample(grid[(0, depth - 1)], 2)
+        h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
+        h = ConvNormAct(16, dtype=self.dtype)(h)
+        h = ConvNormAct(16, dtype=self.dtype)(h)
+        return SegmentationHead(self.num_classes)(h)

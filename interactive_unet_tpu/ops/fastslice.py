@@ -63,6 +63,10 @@ def pack_volume(volume) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("order", "D", "H", "W"))
 def _extract(packed, coords, order, D, H, W):
+    """Edge semantics are EXACTLY scipy map_coordinates(mode='constant',
+    cval=0): a sample whose coordinate leaves [0, n-1] on any axis is cval —
+    scipy does not blend cval into boundary-grazing samples (verified;
+    bench.py asserts voxel-exactness on TPU)."""
     x, y, z = coords[0], coords[1], coords[2]
     valid = ((x >= 0) & (x <= D - 1) & (y >= 0) & (y <= H - 1)
              & (z >= 0) & (z <= W - 1))
@@ -101,23 +105,44 @@ def _extract(packed, coords, order, D, H, W):
     return jnp.where(valid, out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("order", "D", "H", "W", "slice_width"))
-def _extract_oriented(packed, basis_a, basis_b, origin, order, D, H, W,
-                      slice_width):
-    """Build the (3,S,S) affine grid on device from 9 floats and extract.
-
-    Avoids uploading megabytes of precomputed coordinates per slice — the
-    host ships only two basis vectors and the origin (reference coordinate
-    convention: slicer.py:94-115, start = -floor(S/2)).
-    """
+def _oriented_coords(basis_a, basis_b, origin, slice_width):
+    """(3,S,S) affine grid from 9 floats (reference coordinate convention:
+    slicer.py:94-115, start = -floor(S/2))."""
     S = slice_width
     start = -(S // 2) if S % 2 == 0 else -((S - 1) // 2)
     r = jnp.arange(S, dtype=jnp.float32) + start
     ii = r[None, :, None]
     jj = r[None, None, :]
-    coords = (basis_a[:, None, None] * ii + basis_b[:, None, None] * jj
-              + origin[:, None, None])
+    return (basis_a[:, None, None] * ii + basis_b[:, None, None] * jj
+            + origin[:, None, None])
+
+
+@partial(jax.jit, static_argnames=("order", "D", "H", "W", "slice_width"))
+def _extract_oriented(packed, basis_a, basis_b, origin, order, D, H, W,
+                      slice_width):
+    """Build the grid on device and extract — avoids uploading megabytes of
+    precomputed coordinates per slice; the host ships only 9 floats."""
+    coords = _oriented_coords(basis_a, basis_b, origin, slice_width)
     return _extract(packed, coords, order, D, H, W)
+
+
+@partial(jax.jit, static_argnames=("order", "D", "H", "W", "slice_width",
+                                   "as_uint8"))
+def _extract_oriented_batch(packed, basis_a, basis_b, origin, order, D, H, W,
+                            slice_width, as_uint8=False):
+    """K oriented slices in ONE device program: basis/origin are (K,3).
+
+    This is the batched reslice-sampling path (reference loader.py:48-82 does
+    host bbox reads + one scipy call per slice x3 volumes; here K slices of a
+    volume cost one gather dispatch)."""
+    def one(a, b, o):
+        coords = _oriented_coords(a, b, o, slice_width)
+        return _extract(packed, coords, order, D, H, W)
+
+    out = jax.vmap(one)(basis_a, basis_b, origin)
+    if as_uint8:
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
 
 
 class PackedVolume:
@@ -144,6 +169,18 @@ class PackedVolume:
             jnp.asarray(basis_b, jnp.float32),
             jnp.asarray(origin, jnp.float32),
             order, D, H, W, int(slice_width))
+
+    def extract_oriented_batch(self, basis_a, basis_b, origin,
+                               slice_width: int, order: int = 1,
+                               as_uint8: bool = False) -> jax.Array:
+        """(K,3) basis/origin stacks -> (K,S,S) slices in one dispatch."""
+        D, H, W = self.shape
+        return _extract_oriented_batch(
+            self.packed,
+            jnp.asarray(basis_a, jnp.float32),
+            jnp.asarray(basis_b, jnp.float32),
+            jnp.asarray(origin, jnp.float32),
+            order, D, H, W, int(slice_width), as_uint8)
 
     def extract_slicer(self, slicer, axis: int = 0, slice_width: int = 256,
                        order: int = 1, as_uint8: bool = False) -> jax.Array:

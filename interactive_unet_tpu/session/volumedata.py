@@ -66,6 +66,55 @@ class VolumeData:
                                             order=order, as_uint8=True)
         return np.asarray(out)
 
+    def resident_annotations(self, weight_channel: int = 0):
+        """Pack mask + one weight channel into HBM for batched reslice
+        sampling (requires annotations=True)."""
+        from ..ops.fastslice import PackedVolume
+
+        if getattr(self, "_mask_dev", None) is None:
+            self._mask_dev = PackedVolume(self.mask_volume)
+            self._weight_dev = {}
+        if weight_channel not in self._weight_dev:
+            self._weight_dev[weight_channel] = PackedVolume(
+                self.weight_volume[..., weight_channel])
+        return self
+
+    def sample_batch(self, count: int, weight_channel=0, slice_width=512,
+                     origin_shift_range=0.8, sampling_mode="random",
+                     sampling_axis="random", order=1):
+        """K oriented (image, mask, weight) reslices in THREE device
+        dispatches total (one per volume kind) instead of 3K host scipy
+        calls — the batched training-reslice path (reference loader.py:48-82
+        semantics; geometry host-side, extraction on device).
+
+        Returns (images (K,S,S) f32 via trilinear, masks (K,S,S) u8 nearest,
+        weights (K,S,S) u8 nearest, slicer_dicts list)."""
+        self.resident()
+        self.resident_annotations(weight_channel)
+
+        a = np.empty((count, 3), np.float32)
+        b = np.empty((count, 3), np.float32)
+        o = np.empty((count, 3), np.float32)
+        dicts = []
+        for i in range(count):
+            self.slicer.randomize(candidates=self.candidates,
+                                  class_weights=self.class_weights,
+                                  origin_shift_range=origin_shift_range,
+                                  sampling_mode=sampling_mode,
+                                  sampling_axis=sampling_axis)
+            a[i], b[i] = self.slicer.v, self.slicer.w  # axis-0 frame pair
+            o[i] = self.slicer.origin
+            dicts.append(self.slicer.to_dict())
+
+        imgs = self._flat_dev.extract_oriented_batch(
+            a, b, o, slice_width, order=order, as_uint8=True)
+        masks = self._mask_dev.extract_oriented_batch(
+            a, b, o, slice_width, order=0, as_uint8=True)
+        weights = self._weight_dev[weight_channel].extract_oriented_batch(
+            a, b, o, slice_width, order=0, as_uint8=True)
+        return (np.asarray(imgs), np.asarray(masks), np.asarray(weights),
+                dicts)
+
     # -- annotation volume construction ------------------------------------
 
     def build_annotation_volumes(self):

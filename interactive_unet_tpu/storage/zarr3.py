@@ -269,6 +269,14 @@ class Array:
         n_inner = math.prod(self._inner_grid())
         idx_bytes = n_inner * 16
         tail = data[-(idx_bytes + 4):]
+        # the index trailer carries a crc32c (zarr v3 sharding_indexed spec);
+        # validate it so silent shard corruption is an error, not bad data
+        stored = struct.unpack("<I", tail[idx_bytes:])[0]
+        actual = crc32c(tail[:idx_bytes])
+        if stored != actual:
+            raise ValueError(
+                f"shard index crc32c mismatch (stored {stored:#x}, "
+                f"computed {actual:#x}) — corrupt shard file")
         idx = np.frombuffer(tail[:idx_bytes], dtype="<u8").reshape(n_inner, 2)
         return idx
 

