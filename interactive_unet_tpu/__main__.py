@@ -58,6 +58,11 @@ def main(argv=None):
     p_imp.add_argument("--chunk-size", type=int, default=128)
     p_imp.add_argument("--shard-size", type=int, default=256)
 
+    sub.add_parser("train-worker",
+                   help="persistent training worker: reads one JSON job "
+                        "(train_model kwargs) per stdin line, answers one "
+                        "JSON result line on stdout")
+
     args = parser.parse_args(argv)
 
     if args.cmd in (None, "app"):
@@ -73,6 +78,8 @@ def main(argv=None):
         kwargs = json.loads(args.kwargs)
         result = train_model(**kwargs)
         print(json.dumps({"best_val_loss": result["best_val_loss"]}))
+    elif args.cmd == "train-worker":
+        _train_worker_loop()
     elif args.cmd == "predict-volumes":
         import signal
 
@@ -108,6 +115,29 @@ def main(argv=None):
                                shard_size=args.shard_size)
         print(f"imported {args.path} -> {dst}")
     return 0
+
+
+def _train_worker_loop():
+    """Long-lived worker: amortizes process startup, jax import, and the
+    fused-program trace across retrain clicks (the reference's run.cpu_bound
+    keeps a warm worker pool for the same reason, app.py:719).  The
+    filesystem stays the data contract — jobs only carry kwargs."""
+    import sys as _sys
+
+    from .engine.trainer import train_model
+
+    print(json.dumps({"ready": True}), flush=True)
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            result = train_model(**json.loads(line))
+            print(json.dumps(
+                {"ok": True,
+                 "best_val_loss": result["best_val_loss"]}), flush=True)
+        except Exception as e:  # report, stay alive for the next click
+            print(json.dumps({"ok": False, "error": repr(e)}), flush=True)
 
 
 if __name__ == "__main__":

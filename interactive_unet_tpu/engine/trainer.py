@@ -101,6 +101,36 @@ def _batches(n, batch_size, rng, shuffle):
         yield chunk, pad
 
 
+# (model, optimizer, fused epoch fn) cached per program signature: a retrain
+# click with the same shapes must not re-trace (the jit wrapper would be a
+# fresh object each call otherwise, and tracing alone costs seconds at 512^2).
+# lr is NOT part of the key — it rides inside opt_state via inject_hyperparams.
+_PROGRAM_CACHE: dict = {}
+
+
+def _fused_program(cfg: TrainConfig, cap_tr: int, cap_va: int,
+                   mesh_key, batch_sharding):
+    key = (cfg.architecture, cfg.encoder_name, cfg.pretrained,
+           cfg.num_channels, cfg.num_classes, cfg.loss_function_name,
+           cap_tr, cap_va, cfg.batch_size, mesh_key)
+    if key not in _PROGRAM_CACHE:
+        from .fused_train import make_fused_train_fn
+
+        model = build_model(architecture=cfg.architecture,
+                            encoder_name=cfg.encoder_name,
+                            num_channels=cfg.num_channels,
+                            num_classes=cfg.num_classes,
+                            pretrained=cfg.pretrained)
+        loss_fn = M.loss_name_to_function(cfg.loss_function_name)
+        optimizer = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-4)
+        fn = make_fused_train_fn(model, loss_fn, optimizer,
+                                 n_train=cap_tr, n_val=cap_va,
+                                 batch_size=cfg.batch_size, epochs=1,
+                                 batch_sharding=batch_sharding)
+        _PROGRAM_CACHE[key] = (model, optimizer, fn)
+    return _PROGRAM_CACHE[key]
+
+
 def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                 num_classes=2, loss_function_name="MCC + CE",
                 architecture="U-Net", encoder_name="cnn_m", pretrained=False,
@@ -133,12 +163,6 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         cfg.num_classes = old_cfg.num_classes
         cfg.num_channels = old_cfg.num_channels
 
-    model = build_model(architecture=cfg.architecture,
-                        encoder_name=cfg.encoder_name,
-                        num_channels=cfg.num_channels,
-                        num_classes=cfg.num_classes,
-                        pretrained=cfg.pretrained)
-
     x_tr, y_tr, w_tr = _stack(train_ann, cfg.num_classes)
     x_va, y_va, w_va = _stack(val_ann, cfg.num_classes)
     n_tr, n_va = len(x_tr), len(x_va)
@@ -146,16 +170,32 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # pad the dataset buffers to a power-of-two capacity bucket: the fused
     # program's signature stays fixed as samples accumulate, so saving one
     # more annotation doesn't recompile (engine/fused_train.py)
-    from .fused_train import capacity_bucket, make_fused_train_fn, \
-        pad_to_capacity
+    from .fused_train import capacity_bucket, pad_to_capacity
 
     cap_tr = capacity_bucket(n_tr, cfg.batch_size)
     cap_va = capacity_bucket(n_va, cfg.batch_size)
     x_tr, y_tr, w_tr = pad_to_capacity((x_tr, y_tr, w_tr), cap_tr)
     x_va, y_va, w_va = pad_to_capacity((x_va, y_va, w_va), cap_va)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        mesh_key = (tuple(mesh.shape.items()),)
+    else:
+        batch_sharding = None
+        mesh_key = None
+
+    # one fused XLA program per epoch: all steps + val + best-params tracking
+    # run on device; the host sees 8 floats per epoch (engine/fused_train.py).
+    # The (model, optimizer, fn) triple is cached per signature so a retrain
+    # click re-traces nothing.
+    model, optimizer, epoch_fn = _fused_program(cfg, cap_tr, cap_va,
+                                                mesh_key, batch_sharding)
+
     key = jax.random.key(seed)
-    params = model.init(jax.random.key(seed + 1), jnp.zeros_like(jnp.asarray(x_tr[:1])))
+    params = model.init(jax.random.key(seed + 1),
+                        jnp.zeros_like(jnp.asarray(x_tr[:1])))
     if resume:
         from flax import serialization
         params = serialization.from_state_dict(params, state_dict)
@@ -169,27 +209,14 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
             print(f"pretrained: grafted {n_grafted} arrays into "
                   f"{cfg.encoder_name}")
 
-    loss_fn = M.loss_name_to_function(cfg.loss_function_name)
-    # lr rides inside opt_state (traced), so changing it on a retrain click
-    # (reference trainer.py:32-35 lr override) reuses the compiled program
-    optimizer = optax.inject_hyperparams(optax.adamw)(learning_rate=cfg.lr)
     opt_state = optimizer.init(params)
+    # lr rides inside opt_state (inject_hyperparams), so the lr override on a
+    # retrain click (reference trainer.py:32-35) reuses the compiled program
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(cfg.lr, jnp.float32)
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sharding = NamedSharding(mesh, P("data"))
-        replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
-    else:
-        batch_sharding = None
-
-    # one fused XLA program per epoch: all steps + val + best-params tracking
-    # run on device; the host sees 8 floats per epoch (engine/fused_train.py)
-    epoch_fn = make_fused_train_fn(model, loss_fn, optimizer,
-                                   n_train=cap_tr, n_val=cap_va,
-                                   batch_size=cfg.batch_size, epochs=1,
-                                   batch_sharding=batch_sharding)
 
     # datasets stay replicated; the fused step re-shards each gathered batch
     rep = None

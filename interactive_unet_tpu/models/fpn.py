@@ -7,7 +7,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, resize_to, upsample
+from .layers import ConvNormAct, resize_to, upsample, upsample_to
 from .unet import SegmentationHead
 
 
@@ -23,7 +23,7 @@ class FPNDecoder(nn.Module):
                     for f in feats[1:]]
         outs = [laterals[-1]]
         for lat in laterals[-2::-1]:
-            outs.append(lat + upsample(outs[-1], 2))
+            outs.append(lat + upsample_to(outs[-1], lat.shape[1:3]))
         outs = outs[::-1]  # stride 4 first
         # segmentation branches, all merged at stride-4 resolution
         hw = feats[1].shape[1:3]
@@ -73,7 +73,7 @@ class PANDecoder(nn.Module):
             low = ConvNormAct(self.width, kernel=3, dtype=self.dtype)(skip)
             att = jax.nn.sigmoid(nn.Conv(self.width, (1, 1), dtype=self.dtype)(
                 jnp.mean(x, axis=(1, 2), keepdims=True)))
-            x = upsample(x, 2, "bilinear") + low * att
+            x = upsample_to(x, skip.shape[1:3], "bilinear") + low * att
         return x
 
 

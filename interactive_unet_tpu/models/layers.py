@@ -102,6 +102,18 @@ def upsample(x, factor: int = 2, method: str = "nearest"):
     return jax.image.resize(x, (b, h * factor, w * factor, c), "bilinear")
 
 
+def upsample_to(x, hw, method: str = "nearest"):
+    """Upsample to an exact target (h, w) — equals upsample(x, 2) on
+    power-of-two ladders, and stays correct when odd input sizes make the
+    encoder's floor-dividing pools misalign with the skip (e.g. 48 -> 3
+    pools to 1, but the skip is 3)."""
+    b, h, w, c = x.shape
+    hw = tuple(int(v) for v in hw)
+    if (h * 2, w * 2) == hw:
+        return upsample(x, 2, method)
+    return jax.image.resize(x, (b, hw[0], hw[1], c), method)
+
+
 def resize_to(x, hw, method: str = "bilinear"):
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, hw[0], hw[1], c), method)

@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, SCSE, upsample
+from .layers import ConvNormAct, SCSE, upsample, upsample_to, resize_to
 from .unet import SegmentationHead
 
 
@@ -36,9 +36,13 @@ class LinkNet(nn.Module):
         h = feats[-1]
         for skip in feats[-2::-1]:
             h = LinkNetDecoderBlock(skip.shape[-1], dtype=self.dtype)(h)
+            if h.shape[1:3] != skip.shape[1:3]:
+                h = resize_to(h, skip.shape[1:3], "nearest")
             h = h + skip.astype(h.dtype)
         # stride 2 -> 1 (smp's final TransposeX2 block; no skip at stride 1)
         h = LinkNetDecoderBlock(32, dtype=self.dtype)(h)
+        if h.shape[1:3] != x.shape[1:3]:
+            h = resize_to(h, x.shape[1:3], "nearest")
         h = ConvNormAct(32, dtype=self.dtype)(h)
         return SegmentationHead(self.num_classes)(h)
 
@@ -67,13 +71,13 @@ class MAnet(nn.Module):
 
         widths = (256, 128, 64, 32)
         for w, skip in zip(widths, feats[-2::-1]):
-            h = upsample(h, 2)
+            h = upsample_to(h, skip.shape[1:3])
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
             h = ConvNormAct(w, dtype=self.dtype)(h)
             h = ConvNormAct(w, dtype=self.dtype)(h)
             h = SCSE(dtype=self.dtype)(h)
         # final light block back to stride 1 (input as shallowest skip)
-        h = upsample(h, 2)
+        h = upsample_to(h, x.shape[1:3])
         h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
         h = ConvNormAct(16, dtype=self.dtype)(h)
         h = ConvNormAct(16, dtype=self.dtype)(h)

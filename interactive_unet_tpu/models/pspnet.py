@@ -9,7 +9,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, resize_to, upsample
+from .layers import ConvNormAct, resize_to, upsample_to
 from .unet import SegmentationHead
 
 
@@ -68,7 +68,8 @@ class UPerNet(nn.Module):
                     for f in feats[1:-1]]
         outs = [top]
         for lat in laterals[::-1]:
-            outs.append(lat + upsample(outs[-1], 2, "bilinear"))
+            outs.append(lat + upsample_to(outs[-1], lat.shape[1:3],
+                                          "bilinear"))
         outs = outs[::-1]
         hw = outs[0].shape[1:3]
         fused = jnp.concatenate(

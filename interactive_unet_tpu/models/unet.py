@@ -8,7 +8,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, SCSE, upsample
+from .layers import ConvNormAct, SCSE, upsample, upsample_to
 
 
 class SegmentationHead(nn.Module):
@@ -40,13 +40,13 @@ class UNetDecoder(nn.Module):
         x = feats[-1]
         skips = feats[:-1][::-1]  # deepest-first
         for w, skip in zip(self.widths, skips):
-            x = upsample(x, 2)
+            x = upsample_to(x, skip.shape[1:3])
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ConvNormAct(w, dtype=self.dtype)(x)
             x = ConvNormAct(w, dtype=self.dtype)(x)
             if self.use_scse:
                 x = SCSE(dtype=self.dtype)(x)
-        x = upsample(x, 2)
+        x = upsample_to(x, image.shape[1:3])
         x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
         x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
         x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
@@ -88,14 +88,15 @@ class UNetPlusPlus(nn.Module):
         row_w = list(self.decoder_widths[::-1]) + [feats[-1].shape[-1]]
         for j in range(1, depth):
             for i in range(depth - j):
-                up = upsample(grid[(i + 1, j - 1)], 2)
+                up = upsample_to(grid[(i + 1, j - 1)],
+                                 grid[(i, 0)].shape[1:3])
                 cat = [grid[(i, k)].astype(up.dtype) for k in range(j)] + [up]
                 h = jnp.concatenate(cat, axis=-1)
                 h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
                 h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
                 grid[(i, j)] = h
         # final light block back to stride 1 (input as shallowest skip)
-        h = upsample(grid[(0, depth - 1)], 2)
+        h = upsample_to(grid[(0, depth - 1)], x.shape[1:3])
         h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
         h = ConvNormAct(16, dtype=self.dtype)(h)
         h = ConvNormAct(16, dtype=self.dtype)(h)

@@ -29,6 +29,61 @@ from .state import SessionState
 CLIENT_HTML = Path(__file__).with_name("client.html")
 
 
+class _TrainWorker:
+    """Persistent training worker PROCESS (reference parity: training never
+    runs on the UI event loop, app.py:719 — but unlike a process-per-click,
+    a warm worker amortizes interpreter + jax startup and keeps the fused
+    train program traced across clicks, which is most of the retrain
+    latency).  Jobs go in as one JSON line, results come back as one."""
+
+    def __init__(self, cwd: str):
+        import threading
+
+        self.cwd = cwd
+        self.proc = None
+        self.busy = False
+        self.last: dict | None = None
+        self._lock = threading.Lock()
+
+    def _ensure_proc(self):
+        import os as _os
+
+        if self.proc is not None and self.proc.poll() is None:
+            return
+        env = dict(_os.environ)
+        pkg_dir = str(Path(__file__).parents[2])
+        env["PYTHONPATH"] = pkg_dir + _os.pathsep + env.get("PYTHONPATH", "")
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "interactive_unet_tpu", "train-worker"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+            cwd=self.cwd, env=env)
+        self.proc.stdout.readline()  # {"ready": true} after imports
+
+    def submit(self, kwargs: dict) -> bool:
+        import threading
+
+        with self._lock:
+            if self.busy:
+                return False
+            self.busy = True
+
+        def run():
+            try:
+                self._ensure_proc()
+                self.proc.stdin.write(json.dumps(kwargs) + "\n")
+                self.proc.stdin.flush()
+                line = self.proc.stdout.readline()
+                self.last = json.loads(line) if line else \
+                    {"ok": False, "error": "worker died"}
+            except Exception as e:
+                self.last = {"ok": False, "error": repr(e)}
+            finally:
+                self.busy = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
+
 def _png(arr: np.ndarray) -> bytes:
     from PIL import Image
 
@@ -46,7 +101,7 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
     if warmup:  # kick one-time compiles in the background (server path only)
         state.warmup()
     app = web.Application()
-    train_proc: dict = {"proc": None}
+    worker = _TrainWorker(cwd=str(state.root))
 
     async def index(request):
         return web.Response(text=CLIENT_HTML.read_text(),
@@ -59,13 +114,7 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
     async def status(request):
         state.check_volume_folder()
         s = state.status()
-        proc = train_proc["proc"]
-        if proc is not None:
-            if proc.poll() is None:
-                s["training"] = True
-            else:
-                train_proc["proc"] = None
-                state.training = False
+        s["training"] = state.training = worker.busy
         return web.json_response(s)
 
     async def overlay_svg(request):
@@ -144,19 +193,9 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
             except ValueError as err:
                 return web.json_response({"ok": False, "error": str(err)})
         elif name == "train":
-            if train_proc["proc"] is None or train_proc["proc"].poll() is not None:
+            if not worker.busy:
                 state.save_model_details()
-                kwargs = state.train_kwargs()
-                import os as _os
-
-                env = dict(_os.environ)
-                pkg_dir = str(Path(__file__).parents[2])
-                env["PYTHONPATH"] = pkg_dir + _os.pathsep + env.get(
-                    "PYTHONPATH", "")
-                train_proc["proc"] = subprocess.Popen(
-                    [sys.executable, "-m", "interactive_unet_tpu", "train",
-                     "--kwargs", json.dumps(kwargs)],
-                    cwd=str(state.root), env=env)
+                worker.submit(state.train_kwargs())
                 state.training = True
         elif name == "predict_slice":
             state.predict_slice_async()

@@ -81,3 +81,56 @@ def test_sharded_matches_single_device():
     p2, _, loss2, _ = sharded(params2, opt2, key, xb, yb, wb)
 
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_multistep_divergence_across_mesh_shapes(n_dev):
+    """10 sharded optimizer steps must track the single-device trajectory
+    for every mesh shape (collectives only reorder float sums)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} virtual devices")
+
+    from interactive_unet_tpu.engine.trainer import make_train_step
+    from interactive_unet_tpu.models import build_model
+    from interactive_unet_tpu.ops import metrics as M
+    from interactive_unet_tpu.parallel import (batch_sharding, make_mesh,
+                                               make_sharded_train_step,
+                                               replicated)
+
+    model = build_model(architecture="U-Net", encoder_name="cnn_s",
+                        num_classes=2)
+    loss_fn = M.loss_name_to_function("Dice + CE")
+    optimizer = optax.adamw(1e-3)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random((8, 32, 32, 1)), jnp.float32)
+    y = jnp.asarray((rng.random((8, 32, 32, 2)) > 0.5), jnp.float32)
+    w = jnp.ones((8, 32, 32, 2), jnp.float32)
+
+    def run(step_fn, put_batch, put_rep):
+        params = put_rep(model.init(jax.random.key(0), x[:1]))
+        opt_state = put_rep(optimizer.init(params))
+        xb, yb, wb = put_batch(x), put_batch(y), put_batch(w)
+        losses = []
+        for i in range(10):
+            params, opt_state, loss, _ = step_fn(
+                params, opt_state, jax.random.key(100 + i), xb, yb, wb)
+            losses.append(float(loss))
+        return np.array(losses)
+
+    single = make_train_step(model, loss_fn, optimizer)
+    ref = run(single, lambda a: a, lambda a: a)
+
+    mesh = make_mesh(n_dev)
+    sharded = make_sharded_train_step(model, loss_fn, optimizer, mesh)
+    got = run(sharded,
+              lambda a: jax.device_put(a, batch_sharding(mesh)),
+              lambda a: jax.device_put(a, replicated(mesh)))
+
+    # bf16 forward + reduction reordering: growing but bounded drift
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+    assert np.isfinite(got).all()
