@@ -83,9 +83,13 @@ def _load_model_uncached(root, num_channels, num_classes):
 
 def predict_slice(image_slice, num_channels=1, num_classes=2,
                   return_probabilities=False, root="."):
-    """Forward one (H, W) uint8 slice -> colored prediction (or (H,W,C) probs)."""
+    """Forward one (H, W[, C]) uint8 slice -> colored prediction (or probs)."""
+    x = np.asarray(image_slice)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    num_channels = x.shape[-1]
     model, params, cfg = _load_model(root, num_channels, num_classes)
-    x = (np.asarray(image_slice)[None, :, :, None] / 255).astype("float32")
+    x = (x[None] / 255).astype("float32")
     if return_probabilities:
         return np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
     fn = _colored_fn(model, num_classes)
@@ -125,18 +129,19 @@ def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30) -> int:
 def make_block_predictor(model, params, input_size: int, num_classes: int,
                          batch_size: int | None = None,
                          axes=(0, 1, 2), window=None):
-    """Returns a jit function: (S,S,S) float block -> (S,S,S,C) windowed
-    2.5D prediction (average over the requested axis sweeps)."""
+    """Returns a jit function: (S,S,S[,C]) uint8 block -> (S,S,S,classes)
+    windowed 2.5D prediction (average over the requested axis sweeps).
+    Multi-channel volumes ride a trailing channel axis through every sweep."""
     S = input_size
     bs = batch_size or _auto_batch_size(S)
     window_d = (jnp.asarray(window)[..., None]
                 if window is not None else None)
 
     def sweep(p, vol):
-        """Batched 2-D forward over axis 0 of ``vol`` -> (S,S,S,C)."""
+        """Batched 2-D forward over axis 0 of ``vol`` (S,S,S,C) -> (S,S,S,classes)."""
         def body(i, acc):
             sl = jax.lax.dynamic_slice_in_dim(vol, i * bs, bs, 0)
-            pred = model.apply(p, sl[..., None])
+            pred = model.apply(p, sl)
             return jax.lax.dynamic_update_slice_in_dim(acc, pred, i * bs, 0)
 
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
@@ -147,13 +152,17 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
         # traffic) and return float16 (2x less device->host; final output is
         # uint8, so fp16's 1e-3 relative precision is far beyond sufficient)
         block = block_u8.astype(jnp.float32) / 255.0
+        if block.ndim == 3:
+            block = block[..., None]
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
         if 0 in axes:
             acc = acc + sweep(p, block)
         if 1 in axes:
-            acc = acc + sweep(p, block.transpose(1, 0, 2)).transpose(1, 0, 2, 3)
+            acc = acc + sweep(p, block.transpose(1, 0, 2, 3)
+                              ).transpose(1, 0, 2, 3)
         if 2 in axes:
-            acc = acc + sweep(p, block.transpose(2, 0, 1)).transpose(1, 2, 0, 3)
+            acc = acc + sweep(p, block.transpose(2, 0, 1, 3)
+                              ).transpose(1, 2, 0, 3)
         acc = acc / len(axes)
         if window_d is not None:
             acc = acc * window_d
@@ -180,7 +189,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
     for f in volume_files:
         start_time = time.time()
         volume = storage.read_volume(f, level=0)
-        in_shape = np.array(volume.shape)
+        in_shape = np.array(volume.shape[:3])
         out_shape = tuple(in_shape.tolist()) + (num_classes,)
 
         save_path = f.replace("image_volumes", "predicted_volumes")

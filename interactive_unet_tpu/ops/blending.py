@@ -98,8 +98,12 @@ def get_padded_block(volume, i0, j0, k0, i1, j1, k1) -> np.ndarray:
     extent = np.asarray(volume.shape[:3], dtype=np.int64)
     lo_c = np.clip(lo, 0, extent)
     hi_c = np.clip(hi, 0, extent)
-    block = volume[lo_c[0]:hi_c[0], lo_c[1]:hi_c[1], lo_c[2]:hi_c[2]]
+    block = np.asarray(volume[lo_c[0]:hi_c[0], lo_c[1]:hi_c[1],
+                              lo_c[2]:hi_c[2]])
     pad = np.stack([lo_c - lo, hi - hi_c], axis=1)
     if pad.any():
-        block = np.pad(block, pad, mode="reflect")
+        # trailing (channel) axes pass through unpadded
+        full = np.concatenate(
+            [pad, np.zeros((block.ndim - 3, 2), np.int64)], axis=0)
+        block = np.pad(block, full, mode="reflect")
     return block

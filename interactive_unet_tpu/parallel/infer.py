@@ -41,7 +41,7 @@ def make_sharded_block_predictor(model, params, input_size: int,
     def sweep(p, vol):
         def body(i, acc):
             sl = jax.lax.dynamic_slice_in_dim(vol, i * bs, bs, 0)
-            sl = jax.lax.with_sharding_constraint(sl[..., None], bsh)
+            sl = jax.lax.with_sharding_constraint(sl, bsh)
             pred = model.apply(p, sl)
             return jax.lax.dynamic_update_slice_in_dim(acc, pred, i * bs, 0)
 
@@ -51,13 +51,17 @@ def make_sharded_block_predictor(model, params, input_size: int,
     def predict_block(p, block_u8):
         # same wire contract as the single-chip path: uint8 in, float16 out
         block = block_u8.astype(jnp.float32) / 255.0
+        if block.ndim == 3:
+            block = block[..., None]
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)
         if 0 in axes:
             acc = acc + sweep(p, block)
         if 1 in axes:
-            acc = acc + sweep(p, block.transpose(1, 0, 2)).transpose(1, 0, 2, 3)
+            acc = acc + sweep(p, block.transpose(1, 0, 2, 3)
+                              ).transpose(1, 0, 2, 3)
         if 2 in axes:
-            acc = acc + sweep(p, block.transpose(2, 0, 1)).transpose(1, 2, 0, 3)
+            acc = acc + sweep(p, block.transpose(2, 0, 1, 3)
+                              ).transpose(1, 2, 0, 3)
         acc = acc / len(axes)
         if window_d is not None:
             acc = acc * window_d

@@ -248,8 +248,13 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                 elif k == "sampling_axis":
                     state.sampling_axis = str(v)
                 elif hasattr(state.train_config, k):
-                    setattr(state.train_config, k, type(
-                        getattr(state.train_config, k))(v))
+                    cur = getattr(state.train_config, k)
+                    if isinstance(cur, bool):  # bool("false") is True
+                        v = v if isinstance(v, bool) else \
+                            str(v).lower() in ("1", "true", "yes", "on")
+                        setattr(state.train_config, k, v)
+                    else:
+                        setattr(state.train_config, k, type(cur)(v))
         return web.json_response({"ok": True, "status": state.status()})
 
     app.router.add_get("/", index)

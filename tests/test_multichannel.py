@@ -1,0 +1,45 @@
+"""Multi-channel volume inference (VERDICT r1 weak #8: the block predictor
+hardcoded one channel although num_channels is a parameter throughout)."""
+
+import numpy as np
+import pytest
+
+
+def test_block_predictor_multichannel(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.engine.predict import make_block_predictor
+    from interactive_unet_tpu.models import build_model
+    from interactive_unet_tpu.ops import blending
+
+    S = 32
+    model = build_model(architecture="U-Net", encoder_name="cnn_s",
+                        num_channels=2, num_classes=3)
+    params = model.init(jax.random.key(0), jnp.zeros((1, S, S, 2)))
+    predict, _ = make_block_predictor(model, params, S, 3, batch_size=8,
+                                      window=blending.gaussian_3d(S))
+    block = (rng.random((S, S, S, 2)) * 255).astype(np.uint8)
+    out = np.asarray(predict(block))
+    assert out.shape == (S, S, S, 3)
+    assert np.isfinite(out).all()
+
+
+def test_predict_volumes_multichannel(tmp_path, rng):
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.engine.predict import predict_volumes
+
+    samples.create_directories(tmp_path)
+    vol = (rng.random((40, 40, 40, 2)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, tmp_path / "data" / "image_volumes" / "rgbish.zarr",
+        chunk_size=16, shard_size=32)
+
+    res = predict_volumes(input_size=32, num_channels=2, num_classes=2,
+                          root=tmp_path, chunk_size=16, shard_size=32)
+    assert len(res) == 1
+    out = storage.read_volume(
+        tmp_path / "data" / "predicted_volumes" / "rgbish.zarr", level=0)
+    assert out.shape == (40, 40, 40, 2)
+    assert np.asarray(out[:]).max() > 0
