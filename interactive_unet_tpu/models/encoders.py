@@ -146,13 +146,24 @@ class EfficientNetLiteEncoder(nn.Module):
         return feats
 
 
+# Selectable encoder family.  The reference exposes smp's ~700 encoder names
+# (app.py:182); SURVEY §7.6 scopes parity to the CAPABILITY — a selectable
+# architecture/encoder size ladder — implemented as this native family
+# (s/m/l CNN ladders, ResNet-18/34-ish, MobileNetV2, EfficientNet-lite
+# sizes).  This is a deliberate scope cut, documented in README/ARCHITECTURE.
 ENCODER_BUILDERS = {
     "cnn_s": lambda dtype: CNNEncoder(widths=(16, 32, 64, 128, 256), dtype=dtype),
     "cnn_m": lambda dtype: CNNEncoder(widths=(32, 64, 128, 256, 512), dtype=dtype),
     "cnn_l": lambda dtype: CNNEncoder(widths=(64, 128, 256, 512, 1024), dtype=dtype),
-    "resnet": lambda dtype: ResNetEncoder(dtype=dtype),
+    "resnet18": lambda dtype: ResNetEncoder(blocks=2, dtype=dtype),
+    "resnet34": lambda dtype: ResNetEncoder(blocks=3, dtype=dtype),
     "mobilenet_v2": lambda dtype: MobileNetV2Encoder(dtype=dtype),
     "efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
+    "efficientnet_lite1": lambda dtype: EfficientNetLiteEncoder(
+        width_mult=1.1, dtype=dtype),
+    "efficientnet_lite2": lambda dtype: EfficientNetLiteEncoder(
+        width_mult=1.2, dtype=dtype),
     # aliases for reference encoder names so saved configs keep working
+    "resnet": lambda dtype: ResNetEncoder(blocks=2, dtype=dtype),
     "timm-tf_efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
 }
