@@ -302,10 +302,16 @@ def bench_inference():
         sys.exit(1)
 
     # -- the real metric: 512^3 on TPU ---------------------------------------
-    log("[infer] TPU 512^3 run...")
-    predict_volumes(input_size=512, num_classes=2, root=WS)  # warm/compile
+    # Block size 256 by default: the fully-convolutional model predicts any
+    # window size, and the single-512-block program's remote compile has
+    # crashed the tunnel's compile service (transport broken-pipe) — 27
+    # overlapping 256^3 blocks cost ~3x the voxel work but compile reliably.
+    # Set IUNET_BENCH_BLOCK=512 to attempt the single-block variant.
+    block = int(os.environ.get("IUNET_BENCH_BLOCK", "256"))
+    log(f"[infer] TPU 512^3 run (block {block})...")
+    predict_volumes(input_size=block, num_classes=2, root=WS)  # warm/compile
     t0 = time.perf_counter()
-    r = predict_volumes(input_size=512, num_classes=2, root=WS)
+    r = predict_volumes(input_size=block, num_classes=2, root=WS)
     t_tpu = time.perf_counter() - t0
     voxels = 512 ** 3
     # CPU time extrapolates linearly in voxel count (same per-voxel work:

@@ -131,6 +131,63 @@ def _fused_program(cfg: TrainConfig, cap_tr: int, cap_va: int,
     return _PROGRAM_CACHE[key]
 
 
+# Device dataset buffers cached per (file fingerprint, classes, batch, mesh):
+# a retrain click without new samples skips TIFF decode, stacking, and the
+# ~20-40 MB host->device upload entirely.  (The fused fn never donates the
+# data args, so reuse is safe.)
+_DATA_CACHE: dict = {}
+
+
+def _dataset_fingerprint(root: Path):
+    import glob as g
+    import os
+
+    files = []
+    for sub in ("train", "val"):
+        for kind in ("images", "masks", "weights"):
+            for f in sorted(g.glob(str(root / "data" / sub / kind / "*.tiff"))):
+                files.append((f, os.path.getmtime(f)))
+    return tuple(files)
+
+
+def _load_device_dataset(root: Path, num_classes: int, batch_size: int,
+                         reslice, reslice_factor, mesh_key, rep):
+    """-> (data tuple on device, n_tr, n_va, cap_tr, cap_va)."""
+    cacheable = not reslice  # resliced extras are freshly random every run
+    fp = None
+    if cacheable:
+        fp = (str(root), _dataset_fingerprint(root), num_classes, batch_size,
+              mesh_key)
+        if fp in _DATA_CACHE:
+            return _DATA_CACHE[fp]
+
+    from .loader import assemble_training_set
+    from .fused_train import capacity_bucket, pad_to_capacity
+
+    train_ann = assemble_training_set("train", num_classes, reslice,
+                                      reslice_factor, root)
+    val_ann = samples.load_annotations("val", root)
+    if not train_ann:
+        raise RuntimeError("no training samples saved yet")
+
+    x_tr, y_tr, w_tr = _stack(train_ann, num_classes)
+    x_va, y_va, w_va = _stack(val_ann, num_classes)
+    n_tr, n_va = len(x_tr), len(x_va)
+    cap_tr = capacity_bucket(n_tr, batch_size)
+    cap_va = capacity_bucket(n_va, batch_size)
+    x_tr, y_tr, w_tr = pad_to_capacity((x_tr, y_tr, w_tr), cap_tr)
+    x_va, y_va, w_va = pad_to_capacity((x_va, y_va, w_va), cap_va)
+
+    data = tuple(jax.device_put(jnp.asarray(a), rep) if rep is not None
+                 else jnp.asarray(a)
+                 for a in (x_tr, y_tr, w_tr, x_va, y_va, w_va))
+    out = (data, n_tr, n_va, cap_tr, cap_va)
+    if cacheable:
+        _DATA_CACHE.clear()
+        _DATA_CACHE[fp] = out
+    return out
+
+
 def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                 num_classes=2, loss_function_name="MCC + CE",
                 architecture="U-Net", encoder_name="cnn_m", pretrained=False,
@@ -138,14 +195,6 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                 reslice=False, reslice_factor=2):
     """One-shot (re)training run. Returns the history dict of the run."""
     root = Path(root)
-
-    from .loader import assemble_training_set
-
-    train_ann = assemble_training_set("train", num_classes, reslice,
-                                      reslice_factor, root)
-    val_ann = samples.load_annotations("val", root)
-    if not train_ann:
-        raise RuntimeError("no training samples saved yet")
 
     cfg = TrainConfig(lr=lr, batch_size=batch_size, epochs=epochs,
                       num_channels=num_channels, num_classes=num_classes,
@@ -163,28 +212,21 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         cfg.num_classes = old_cfg.num_classes
         cfg.num_channels = old_cfg.num_channels
 
-    x_tr, y_tr, w_tr = _stack(train_ann, cfg.num_classes)
-    x_va, y_va, w_va = _stack(val_ann, cfg.num_classes)
-    n_tr, n_va = len(x_tr), len(x_va)
-
-    # pad the dataset buffers to a power-of-two capacity bucket: the fused
-    # program's signature stays fixed as samples accumulate, so saving one
-    # more annotation doesn't recompile (engine/fused_train.py)
-    from .fused_train import capacity_bucket, pad_to_capacity
-
-    cap_tr = capacity_bucket(n_tr, cfg.batch_size)
-    cap_va = capacity_bucket(n_va, cfg.batch_size)
-    x_tr, y_tr, w_tr = pad_to_capacity((x_tr, y_tr, w_tr), cap_tr)
-    x_va, y_va, w_va = pad_to_capacity((x_va, y_va, w_va), cap_va)
-
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sharding = NamedSharding(mesh, P("data"))
         replicated = NamedSharding(mesh, P())
+        rep = NamedSharding(mesh, P())
         mesh_key = (tuple(mesh.shape.items()),)
     else:
         batch_sharding = None
+        rep = None
         mesh_key = None
+
+    data, n_tr, n_va, cap_tr, cap_va = _load_device_dataset(
+        root, cfg.num_classes, cfg.batch_size, reslice, reslice_factor,
+        mesh_key, rep)
+    x_tr = data[0]
 
     # one fused XLA program per epoch: all steps + val + best-params tracking
     # run on device; the host sees 8 floats per epoch (engine/fused_train.py).
@@ -217,15 +259,6 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     if mesh is not None:
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
-
-    # datasets stay replicated; the fused step re-shards each gathered batch
-    rep = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(mesh, P())
-    data = [jax.device_put(jnp.asarray(a), rep) if rep is not None
-            else jnp.asarray(a)
-            for a in (x_tr, y_tr, w_tr, x_va, y_va, w_va)]
 
     logger = CSVHistoryLogger(root)
     history = []
