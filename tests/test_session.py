@@ -130,3 +130,17 @@ def test_http_wire(tiny_ws):
             await client.close()
 
     asyncio.run(scenario())
+
+
+def test_slice_generation_token(tiny_ws):
+    """Each slice change bumps the generation token the suggestor upload
+    cache keys on (VERDICT r1 weak #5)."""
+    from interactive_unet_tpu.session.state import SessionState
+
+    state = SessionState(root=tiny_ws, canvas_size=64)
+    g0 = state.slice_generation
+    f0 = state.image_features
+    assert state.image_features is f0  # cached within a slice
+    state.randomize()
+    assert state.slice_generation == g0 + 1
+    assert state.image_features is not f0
