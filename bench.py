@@ -327,16 +327,35 @@ def main():
     which = sys.argv[1:] or ["slice", "retrain", "suggestor", "inference"]
     import jax
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
+
+    failed = []
+
+    def run(name, fn):
+        """A parity-gate sys.exit inside a metric still aborts the whole
+        bench (gates are hard); infrastructure errors (tunnel drops, remote
+        compile crashes) skip to the next metric so partial results land."""
+        import traceback
+        try:
+            fn()
+        except SystemExit:
+            raise
+        except Exception:
+            log(f"[{name}] FAILED:\n{traceback.format_exc(limit=5)}")
+            failed.append(name)
+
     if "slice" in which:
-        bench_slice_sampling()
+        run("slice", bench_slice_sampling)
     if {"retrain", "suggestor", "inference"} & set(which):
         make_workspace()
     if "retrain" in which:
-        bench_retrain()
+        run("retrain", bench_retrain)
     if "suggestor" in which:
-        bench_suggestor()
+        run("suggestor", bench_suggestor)
     if "inference" in which:
-        bench_inference()
+        run("inference", bench_inference)
+    if failed:
+        log(f"metrics failed: {failed}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
