@@ -332,10 +332,44 @@ class SessionState:
         }
 
 
-def make_example_data(root: str | Path, size: int = 256, seed: int = 0):
-    """Bundled example volume (reference downloads one, utils.py:100-119;
-    this environment has no egress, so synthesize a structured phantom:
-    blobs + rods in noise)."""
+_EXAMPLE_URL = ("https://filestash.qim.dk/api/files/cat"
+                "?path=%2Fsample_data.npy&share=57lVz63")
+
+
+def download_example_data(root: str | Path, url: str = _EXAMPLE_URL,
+                          timeout: float = 30.0) -> bool:
+    """Fetch the reference's sample volume (utils.py:100-119 contract) into
+    data/image_volumes/sample_volume.zarr.  Returns False (instead of
+    raising) when offline — callers fall back to the synthetic phantom."""
+    import tempfile
+    import urllib.request
+
+    from .. import storage
+
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            dst = Path(tmp) / "sample_volume.npy"
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    open(dst, "wb") as f:
+                f.write(r.read())
+            volume = np.load(dst)
+        storage.create_multiscale_zarr(
+            volume, Path(root) / "data" / "image_volumes" /
+            "sample_volume.zarr")
+        return True
+    except Exception as e:
+        print(f"example-data download unavailable ({e!r}); "
+              f"synthesizing a phantom instead")
+        return False
+
+
+def make_example_data(root: str | Path, size: int = 256, seed: int = 0,
+                      try_download: bool = False):
+    """Bundled example volume.  The reference downloads one
+    (utils.py:100-119) — attempted when ``try_download`` — with an offline
+    fallback to a synthesized structured phantom (blobs + rods in noise)."""
+    if try_download and download_example_data(root):
+        return
     from scipy import ndimage as ndi
     from .. import storage
 
