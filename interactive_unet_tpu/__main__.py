@@ -126,18 +126,21 @@ def _train_worker_loop():
 
     from .engine.trainer import train_model
 
-    print(json.dumps({"ready": True}), flush=True)
+    # every protocol line carries a sentinel prefix so stray stdout from
+    # libraries can never desync the one-line-per-job contract
+    def reply(obj):
+        print("IUNET " + json.dumps(obj), flush=True)
+
+    reply({"ready": True})
     for line in _sys.stdin:
         line = line.strip()
         if not line:
             continue
         try:
             result = train_model(**json.loads(line))
-            print(json.dumps(
-                {"ok": True,
-                 "best_val_loss": result["best_val_loss"]}), flush=True)
+            reply({"ok": True, "best_val_loss": result["best_val_loss"]})
         except Exception as e:  # report, stay alive for the next click
-            print(json.dumps({"ok": False, "error": repr(e)}), flush=True)
+            reply({"ok": False, "error": repr(e)})
 
 
 if __name__ == "__main__":

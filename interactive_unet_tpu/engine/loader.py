@@ -56,7 +56,12 @@ def load_resliced_annotations(set_type: str = "train", count: int = 100,
         return []
     weight_channel = 0 if set_type == "train" else 1
 
+    # reproducibility: the caller's rng seeds each volume's slicer draws
+    for vd in dataset:
+        vd.slicer.rng = np.random.default_rng(int(rng.integers(2 ** 63)))
+
     annotations = []
+    rejects = []  # reference fallback: after max tries, use the draw anyway
     for _ in range(max_rounds):
         need = count - len(annotations)
         if need <= 0:
@@ -72,6 +77,12 @@ def load_resliced_annotations(set_type: str = "train", count: int = 100,
                 if weights[i].max() == 255 and masks[i].max() > 0:
                     annotations.append(_finish_reslice(
                         imgs[i], masks[i], weights[i], num_classes))
+                elif len(rejects) < count:
+                    rejects.append((imgs[i], masks[i], weights[i]))
+    # guarantee exactly ``count`` like the reference's max_tries fallback
+    # (loader.py:62-68 keeps the last draw even when unqualified)
+    for t in rejects[:max(0, count - len(annotations))]:
+        annotations.append(_finish_reslice(*t, num_classes))
     return annotations[:count]
 
 

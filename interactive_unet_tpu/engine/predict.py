@@ -126,14 +126,17 @@ def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30) -> int:
     return bs
 
 
-def make_block_predictor(model, params, input_size: int, num_classes: int,
-                         batch_size: int | None = None,
-                         axes=(0, 1, 2), window=None):
-    """Returns a jit function: (S,S,S[,C]) uint8 block -> (S,S,S,classes)
-    windowed 2.5D prediction (average over the requested axis sweeps).
-    Multi-channel volumes ride a trailing channel axis through every sweep."""
+def make_block_predict_fn(model, input_size: int, num_classes: int,
+                          batch_size: int, axes=(0, 1, 2), window=None,
+                          slice_hook=None):
+    """The (UNjitted) 2.5D block function shared by the single-chip and
+    mesh-sharded paths: (params, (S,S,S[,C]) uint8 block) -> (S,S,S,classes)
+    windowed prediction, averaged over the requested axis sweeps.
+    Multi-channel volumes ride a trailing channel axis through every sweep.
+    ``slice_hook`` intercepts each slice batch (the sharded path applies its
+    sharding constraint there — parallel/infer.py)."""
     S = input_size
-    bs = batch_size or _auto_batch_size(S)
+    bs = batch_size
     window_d = (jnp.asarray(window)[..., None]
                 if window is not None else None)
 
@@ -141,6 +144,8 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
         """Batched 2-D forward over axis 0 of ``vol`` (S,S,S,C) -> (S,S,S,classes)."""
         def body(i, acc):
             sl = jax.lax.dynamic_slice_in_dim(vol, i * bs, bs, 0)
+            if slice_hook is not None:
+                sl = slice_hook(sl)
             pred = model.apply(p, sl)
             return jax.lax.dynamic_update_slice_in_dim(acc, pred, i * bs, 0)
 
@@ -168,7 +173,16 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
             acc = acc * window_d
         return acc.astype(jnp.float16)
 
-    fn = jax.jit(predict_block)
+    return predict_block
+
+
+def make_block_predictor(model, params, input_size: int, num_classes: int,
+                         batch_size: int | None = None,
+                         axes=(0, 1, 2), window=None):
+    """Returns (fn: (S,S,S[,C]) uint8 block -> (S,S,S,classes), batch_size)."""
+    bs = batch_size or _auto_batch_size(input_size)
+    fn = jax.jit(make_block_predict_fn(model, input_size, num_classes, bs,
+                                       axes, window))
     return lambda block: fn(params, jnp.asarray(block, jnp.uint8)), bs
 
 

@@ -21,6 +21,7 @@ TPU-first re-design:
 
 from __future__ import annotations
 
+import sys
 from pathlib import Path
 
 import jax
@@ -211,6 +212,19 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         cfg.encoder_name = old_cfg.encoder_name
         cfg.num_classes = old_cfg.num_classes
         cfg.num_channels = old_cfg.num_channels
+        # pretrained selects a structurally different encoder for importable
+        # encoders (folded-BN); the checkpoint's param tree governs
+        cfg.pretrained = old_cfg.pretrained
+    elif cfg.pretrained:
+        # only build the folded-BN encoder form when weights actually exist;
+        # otherwise a norm-free random-init net would silently train badly
+        from ..utils.torch_import import find_checkpoint
+        if find_checkpoint(cfg.encoder_name) is None:
+            print(f"pretrained=True but no local checkpoint for "
+                  f"{cfg.encoder_name!r} "
+                  f"(see utils/torch_import.py); using random init",
+                  file=sys.stderr)
+            cfg.pretrained = False
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -248,8 +262,9 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         params, n_grafted = maybe_load_pretrained(
             params, cfg.encoder_name, num_channels=cfg.num_channels)
         if n_grafted:
+            # stderr: the train-worker protocol owns stdout (session/app.py)
             print(f"pretrained: grafted {n_grafted} arrays into "
-                  f"{cfg.encoder_name}")
+                  f"{cfg.encoder_name}", file=sys.stderr)
 
     opt_state = optimizer.init(params)
     # lr rides inside opt_state (inject_hyperparams), so the lr override on a

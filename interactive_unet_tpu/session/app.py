@@ -57,7 +57,16 @@ class _TrainWorker:
             [sys.executable, "-m", "interactive_unet_tpu", "train-worker"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
             cwd=self.cwd, env=env)
-        self.proc.stdout.readline()  # {"ready": true} after imports
+        self._read_reply()  # {"ready": true} after imports
+
+    def _read_reply(self):
+        """Skip any non-protocol stdout until the sentinel-tagged line."""
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                return None
+            if line.startswith("IUNET "):
+                return json.loads(line[len("IUNET "):])
 
     def submit(self, kwargs: dict) -> bool:
         import threading
@@ -72,8 +81,8 @@ class _TrainWorker:
                 self._ensure_proc()
                 self.proc.stdin.write(json.dumps(kwargs) + "\n")
                 self.proc.stdin.flush()
-                line = self.proc.stdout.readline()
-                self.last = json.loads(line) if line else \
+                reply = self._read_reply()
+                self.last = reply if reply is not None else \
                     {"ok": False, "error": "worker died"}
             except Exception as e:
                 self.last = {"ok": False, "error": repr(e)}
@@ -115,6 +124,7 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
         state.check_volume_folder()
         s = state.status()
         s["training"] = state.training = worker.busy
+        s["train_result"] = worker.last  # incl. {"ok": false, "error": ...}
         return web.json_response(s)
 
     async def overlay_svg(request):

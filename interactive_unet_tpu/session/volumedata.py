@@ -87,8 +87,9 @@ class VolumeData:
         calls — the batched training-reslice path (reference loader.py:48-82
         semantics; geometry host-side, extraction on device).
 
-        Returns (images (K,S,S) f32 via trilinear, masks (K,S,S) u8 nearest,
-        weights (K,S,S) u8 nearest, slicer_dicts list)."""
+        Returns (images (K,S,S) uint8 — trilinear then rounded, the scipy
+        uint8-volume cast — masks (K,S,S) uint8 nearest, weights (K,S,S)
+        uint8 nearest, slicer_dicts list)."""
         self.resident()
         self.resident_annotations(weight_channel)
 

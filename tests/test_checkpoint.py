@@ -59,3 +59,39 @@ def test_bad_magic_rejected(tmp_path):
     p.write_bytes(b"not a checkpoint")
     with pytest.raises(ValueError):
         ck.load_checkpoint(p)
+
+
+def test_resume_survives_pretrained_toggle(tmp_path):
+    """Toggling the pretrained checkbox between clicks must not break resume:
+    the checkpoint's param tree governs the model structure (mobilenet_v2
+    pretrained builds a folded-BN tree without GroupNorm scopes)."""
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.engine.trainer import train_model
+    from interactive_unet_tpu.ops import colors as C
+    from interactive_unet_tpu.ops.slicer import Slicer
+
+    samples.create_directories(tmp_path)
+    rng = np.random.default_rng(0)
+    vol = (rng.random((40, 40, 40)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, tmp_path / "data" / "image_volumes" / "v.zarr",
+        chunk_size=16, shard_size=32)
+    sl = Slicer(vol.shape, seed=1)
+    for _ in range(2):
+        sl.randomize()
+        img = sl.get_slice(vol, slice_width=32, order=1).astype(np.uint8)
+        mask = np.zeros((32, 32, 3), np.uint8)
+        mask[img > 128] = C.COLORS[2]
+        mask[img <= 128] = C.COLORS[1]
+        samples.save_sample(img, mask, {"volume": "v",
+                                        "slicer": sl.to_dict()}, 2,
+                            root=tmp_path)
+
+    kwargs = dict(lr=1e-3, batch_size=2, epochs=1, num_classes=2,
+                  architecture="U-Net", encoder_name="mobilenet_v2",
+                  root=tmp_path)
+    train_model(**kwargs, pretrained=False)
+    # click 2 with the checkbox ON: resume must keep the ckpt's structure
+    out = train_model(**kwargs, pretrained=True)
+    assert np.isfinite(out["best_val_loss"])
