@@ -35,7 +35,8 @@ from ..ops import colors as C
 from ..ops import metrics as M
 
 
-def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float):
+def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float,
+                          fit_stride: int = 1):
         import optax
 
         optimizer = optax.adamw(lr)
@@ -53,11 +54,21 @@ def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float):
             covered = (jnp.sum(y, -1, keepdims=True) > 0).astype(jnp.float32)
             w = jnp.repeat(covered, num_classes, axis=-1)
 
+            if fit_stride > 1:
+                # optional working-resolution fit: the 30-step optimization
+                # runs on a strided (nearest) subsample; the FINAL inference
+                # below stays full-resolution.  ~fit_stride^2 less fit work.
+                x_fit = x[:, ::fit_stride, ::fit_stride, :]
+                y = y[:, ::fit_stride, ::fit_stride, :]
+                w = w[:, ::fit_stride, ::fit_stride, :]
+            else:
+                x_fit = x
+
             opt_state = optimizer.init(params)
 
             def body(carry, k):
                 params, opt_state, best_params, best_loss = carry
-                xa, ya, wa = aug.flip_rotate_batch(k, x, y, w)
+                xa, ya, wa = aug.flip_rotate_batch(k, x_fit, y, w)
 
                 def lfn(p):
                     pred = model.apply(p, xa)
@@ -99,7 +110,7 @@ def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float):
 
 @functools.lru_cache(maxsize=16)
 def _compiled_program(encoder_name: str, num_channels: int, num_classes: int,
-                      steps: int, lr: float):
+                      steps: int, lr: float, fit_stride: int = 1):
     """(model, jitted fit-and-predict) shared across ALL Suggestor instances.
 
     The session discards its Suggestor on every slice change (params must
@@ -109,7 +120,8 @@ def _compiled_program(encoder_name: str, num_channels: int, num_classes: int,
     model = build_model(architecture="U-Net", encoder_name=encoder_name,
                         num_channels=num_channels, num_classes=num_classes,
                         dtype=jnp.bfloat16)
-    return model, jax.jit(_make_fit_and_predict(model, num_classes, steps, lr))
+    return model, jax.jit(_make_fit_and_predict(model, num_classes, steps, lr,
+                                                fit_stride))
 
 
 class Suggestor:
@@ -117,15 +129,16 @@ class Suggestor:
 
     def __init__(self, num_channels: int = 1, num_classes: int = 2,
                  steps: int = 30, lr: float = 1e-4, seed: int = 0,
-                 encoder_name: str = "cnn_s"):
+                 encoder_name: str = "cnn_s", fit_stride: int = 1):
         self.num_channels = num_channels
         self.num_classes = num_classes
         self.steps = steps
         self.lr = lr
         self.seed = seed
         self.encoder_name = encoder_name
+        self.fit_stride = fit_stride
         self.model, self._fit_fn = _compiled_program(
-            encoder_name, num_channels, num_classes, steps, lr)
+            encoder_name, num_channels, num_classes, steps, lr, fit_stride)
         self.params = None
         self._init_params = None
         self._x_dev = None
@@ -163,7 +176,8 @@ class Suggestor:
             uploads = self.x_uploads
             self.__init__(num_channels=x.shape[-1], num_classes=num_classes,
                           steps=self.steps, lr=self.lr, seed=self.seed,
-                          encoder_name=self.encoder_name)
+                          encoder_name=self.encoder_name,
+                          fit_stride=self.fit_stride)
             self.x_uploads = uploads
 
         # The slice image is constant across strokes: upload once per slice.

@@ -91,3 +91,22 @@ def test_compiled_program_shared_across_instances():
     b = Suggestor(num_channels=1, num_classes=2, steps=3, seed=1)
     assert a._fit_fn is b._fit_fn
     assert a.model is b.model
+
+
+def test_fit_stride_quality(rng):
+    """Working-resolution fit (fit_stride=2): 4x less fit work, final
+    inference still full-res, quality preserved on a separable slice."""
+    s = 64
+    img = np.zeros((s, s), np.float32)
+    img[:, s // 2:] = 1.0
+    mask = np.zeros((s, s, 3), np.uint8)
+    mask[8:24, 8:16] = C.COLORS[1]
+    mask[8:24, 48:56] = C.COLORS[2]
+
+    sug = Suggestor(num_channels=1, num_classes=2, steps=60, lr=3e-3,
+                    seed=0, fit_stride=2)
+    suggestion, _ = sug.make_suggestions(img, mask)
+    assert suggestion.shape == (s, s, 3)  # full-res output
+    left_ok = (suggestion[:, : s // 2 - 4] == C.COLORS[1]).all(-1).mean()
+    right_ok = (suggestion[:, s // 2 + 4:] == C.COLORS[2]).all(-1).mean()
+    assert left_ok > 0.7 and right_ok > 0.7, (left_ok, right_ok)
