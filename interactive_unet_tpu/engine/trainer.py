@@ -92,16 +92,6 @@ def make_eval_step(model, loss_fn):
     return jax.jit(step)
 
 
-def _batches(n, batch_size, rng, shuffle):
-    idx = rng.permutation(n) if shuffle else np.arange(n)
-    for i in range(0, n, batch_size):
-        chunk = idx[i:i + batch_size]
-        pad = batch_size - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, chunk[np.zeros(pad, dtype=int)]])
-        yield chunk, pad
-
-
 # (model, optimizer, fused epoch fn) cached per program signature: a retrain
 # click with the same shapes must not re-trace (the jit wrapper would be a
 # fresh object each call otherwise, and tracing alone costs seconds at 512^2).
