@@ -144,3 +144,18 @@ def test_slice_generation_token(tiny_ws):
     state.randomize()
     assert state.slice_generation == g0 + 1
     assert state.image_features is not f0
+
+
+def test_example_download_offline_fallback(tmp_path):
+    """No egress -> download returns False and make_example_data falls back
+    to the synthetic phantom (reference utils.py:100-119 capability)."""
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.session.state import (download_example_data,
+                                                    make_example_data)
+
+    samples.create_directories(tmp_path)
+    assert download_example_data(tmp_path, url="http://127.0.0.1:9/x",
+                                 timeout=2) is False
+    make_example_data(tmp_path, size=48, try_download=True)
+    assert (tmp_path / "data" / "image_volumes" /
+            "example_volume.zarr").is_dir()
