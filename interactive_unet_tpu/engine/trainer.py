@@ -100,10 +100,10 @@ _PROGRAM_CACHE: dict = {}
 
 
 def _fused_program(cfg: TrainConfig, cap_tr: int, cap_va: int,
-                   mesh_key, batch_sharding):
+                   mesh_key, batch_sharding, epochs: int = 1):
     key = (cfg.architecture, cfg.encoder_name, cfg.pretrained,
            cfg.num_channels, cfg.num_classes, cfg.loss_function_name,
-           cap_tr, cap_va, cfg.batch_size, mesh_key)
+           cap_tr, cap_va, cfg.batch_size, mesh_key, epochs)
     if key not in _PROGRAM_CACHE:
         from .fused_train import make_fused_train_fn
 
@@ -116,7 +116,7 @@ def _fused_program(cfg: TrainConfig, cap_tr: int, cap_va: int,
         optimizer = optax.inject_hyperparams(optax.adamw)(learning_rate=1e-4)
         fn = make_fused_train_fn(model, loss_fn, optimizer,
                                  n_train=cap_tr, n_val=cap_va,
-                                 batch_size=cfg.batch_size, epochs=1,
+                                 batch_size=cfg.batch_size, epochs=epochs,
                                  batch_sharding=batch_sharding)
         _PROGRAM_CACHE[key] = (model, optimizer, fn)
     return _PROGRAM_CACHE[key]
@@ -232,12 +232,17 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         mesh_key, rep)
     x_tr = data[0]
 
-    # one fused XLA program per epoch: all steps + val + best-params tracking
-    # run on device; the host sees 8 floats per epoch (engine/fused_train.py).
-    # The (model, optimizer, fn) triple is cached per signature so a retrain
-    # click re-traces nothing.
+    # One fused XLA program covers the WHOLE run when nobody streams
+    # per-epoch metrics (the scan body compiles once regardless of length,
+    # so the program costs the same as epochs=1 — but the run is a single
+    # dispatch + one device->host sync).  With a `progress` callback, one
+    # program per epoch keeps the live plot semantics.  The (model,
+    # optimizer, fn) triple is cached per signature so a retrain click
+    # re-traces nothing either way.
+    epochs_per_call = 1 if progress is not None else max(1, cfg.epochs)
     model, optimizer, epoch_fn = _fused_program(cfg, cap_tr, cap_va,
-                                                mesh_key, batch_sharding)
+                                                mesh_key, batch_sharding,
+                                                epochs=epochs_per_call)
 
     key = jax.random.key(seed)
     params = model.init(jax.random.key(seed + 1),
@@ -284,7 +289,8 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # ~0.3-1 s each).  Streaming callers (live plot) can pass `progress` to
     # opt back into per-epoch syncing.
     epoch_logs = []
-    for epoch in range(cfg.epochs):
+    n_calls = -(-cfg.epochs // epochs_per_call)
+    for call in range(n_calls):
         key, sub = jax.random.split(key)
         params, opt_state, best_params, best_val, logs = epoch_fn(
             params, opt_state, best_params, best_val, sub, *data,
@@ -292,11 +298,12 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         epoch_logs.append(logs)
         if progress is not None:
             row = np.asarray(logs[0])
-            progress(epoch, cfg.epochs,
+            progress(call, cfg.epochs,
                      dict(zip(names, map(float, row[:4]))),
                      dict(zip(names, map(float, row[4:]))))
-    for epoch, logs in enumerate(epoch_logs):
-        row = np.asarray(logs[0])
+    all_rows = np.concatenate([np.asarray(l) for l in epoch_logs],
+                              axis=0)[:cfg.epochs]
+    for epoch, row in enumerate(all_rows):
         train_row = dict(zip(names, map(float, row[:4])))
         val_row = dict(zip(names, map(float, row[4:])))
         logger.log_epoch(epoch, (epoch + 1) * steps_per_epoch, train_row,
