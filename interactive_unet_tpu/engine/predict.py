@@ -186,18 +186,79 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
     return lambda block: fn(params, jnp.asarray(block, jnp.uint8)), bs
 
 
+def make_device_accumulator(model, params, input_size: int, num_classes: int,
+                            ext, batch_size: int | None = None,
+                            axes=(0, 1, 2), window=None):
+    """Device-resident blending (SURVEY hard part #5): the whole padded
+    output volume accumulates in HBM — each block's 2.5D prediction and its
+    Gaussian window are added in place with NO device->host transfer, and
+    one normalize+uint8 crop ships out at the end.  vs the host path this
+    removes blocks x (S,S,S,C) fp16 d2h (1.8 GB for 512^3/256) and all host
+    read-modify-write.
+
+    Returns (step, finalize, bs): step(acc, wacc, block_u8, i, j, k) adds one
+    block at padded-space offset (i, j, k); finalize(acc, wacc, off, shape)
+    -> (shape..., classes) uint8."""
+    S = input_size
+    bs = batch_size or _auto_batch_size(S)
+    predict_fn = make_block_predict_fn(model, S, num_classes, bs, axes,
+                                       window)
+    win = jnp.asarray(window, jnp.float32)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0, 1))
+    def step(acc, wacc, block_u8, i0, j0, k0):
+        pred = predict_fn(params, block_u8).astype(jnp.float32)
+        cur = jax.lax.dynamic_slice(
+            acc, (i0, j0, k0, 0), (S, S, S, acc.shape[-1]))
+        acc = jax.lax.dynamic_update_slice(acc, cur + pred, (i0, j0, k0, 0))
+        curw = jax.lax.dynamic_slice(wacc, (i0, j0, k0), (S, S, S))
+        wacc = jax.lax.dynamic_update_slice(wacc, curw + win, (i0, j0, k0))
+        return acc, wacc
+
+    def finalize(acc, wacc, off, shape):
+        """Crop to the volume, normalize, cast — on device; one uint8 d2h."""
+        sl = tuple(slice(int(o), int(o) + int(s)) for o, s in zip(off, shape))
+
+        @_partial(jax.jit, donate_argnums=(0, 1))
+        def _fin(acc, wacc):
+            p = acc[sl + (slice(None),)]
+            w = jnp.maximum(wacc[sl], 1e-3)
+            # truncating cast — bit-identical to the host path's
+            # (255*p/w).astype("uint8")
+            return jnp.clip(255.0 * p / w[..., None], 0, 255).astype(jnp.uint8)
+
+        return _fin(acc, wacc)
+
+    def init():
+        e = tuple(int(v) for v in ext)
+        return (jnp.zeros((*e, num_classes), jnp.float32),
+                jnp.zeros(e, jnp.float32))
+
+    return init, step, finalize, bs
+
+
 def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     overlap=0.25, chunk_size=128, shard_size=256,
                     batch_size=None, axes=(0, 1, 2), root=".",
-                    progress=None, ram_budget_bytes=64 << 30):
-    """Sliding-window inference over every data/image_volumes/*.zarr store."""
+                    progress=None, ram_budget_bytes=64 << 30,
+                    hbm_budget_bytes=6 << 30):
+    """Sliding-window inference over every data/image_volumes/*.zarr store.
+
+    Accumulator placement (fastest first):
+    1. device HBM — the padded output volume lives on device; blocks blend in
+       place with zero per-block d2h, one uint8 crop ships at the end
+       (make_device_accumulator; used when it fits ``hbm_budget_bytes``)
+    2. host RAM (``ram_budget_bytes``)
+    3. reference-style temp zarr accumulators (predict.py:183-199)
+    """
     root = Path(root)
     model, params, _ = _load_model(root, num_channels, num_classes)
 
     volume_files = sorted(glob.glob(str(root / "data" / "image_volumes" / "*.zarr")))
     window = blending.gaussian_3d(input_size, sigma=0.125)
-    predict_block, bs = make_block_predictor(
-        model, params, input_size, num_classes, batch_size, axes, window)
+    predict_block = None  # built lazily for the host paths
 
     results = []
     for f in volume_files:
@@ -214,24 +275,16 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
             shards=(shard_size,) * 3 + (num_classes,), dtype="uint8",
             overwrite=True)
 
-        bytes_needed = int(np.prod(in_shape)) * (num_classes + 1) * 4
-        use_ram = bytes_needed <= ram_budget_bytes
-        if use_ram:
-            pred = np.zeros(out_shape, dtype=np.float32)
-            weight = np.zeros(tuple(in_shape), dtype=np.float32)
-        else:  # reference-style temp zarr accumulators (predict.py:183-199)
-            tmp = root / "temp"
-            pred = storage.open(tmp / "pred.zarr", mode="w").create_array(
-                name="0", shape=out_shape,
-                chunks=(chunk_size,) * 3 + (num_classes,),
-                shards=(shard_size,) * 3 + (num_classes,), dtype="float32",
-                overwrite=True)
-            weight = storage.open(tmp / "weight.zarr", mode="w").create_array(
-                name="0", shape=tuple(in_shape), chunks=(chunk_size,) * 3,
-                shards=(shard_size,) * 3, dtype="float32", overwrite=True)
-
         block_coords, padded_coords, local_coords = \
             blending.get_block_coordinates(in_shape, input_size, overlap)
+
+        pad_off = -padded_coords[:, :3].min(axis=0)
+        pad_ext = padded_coords[:, 3:].max(axis=0) + pad_off
+        dev_bytes = int(np.prod(pad_ext)) * (num_classes + 1) * 4
+        use_device = dev_bytes <= hbm_budget_bytes
+
+        bytes_needed = int(np.prod(in_shape)) * (num_classes + 1) * 4
+        use_ram = bytes_needed <= ram_budget_bytes
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -248,54 +301,106 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
 
         prefetcher = ThreadPoolExecutor(max_workers=1)
         pending = prefetcher.submit(fetch, 0)
-        for idx in range(len(padded_coords)):
-            with timer.span("read_block"):
-                pb = pending.result()
-            if idx + 1 < len(padded_coords):
-                pending = prefetcher.submit(fetch, idx + 1)
-            with timer.span("device_2_5d"):
-                block_pred = np.asarray(predict_block(pb), dtype=np.float32)
-            i0, j0, k0, i1, j1, k1 = block_coords[idx]
-            li0, lj0, lk0, li1, lj1, lk1 = local_coords[idx]
+
+        if use_device:
+            init, step, finalize, bs = make_device_accumulator(
+                model, params, input_size, num_classes, pad_ext,
+                batch_size, axes, window)
+            acc, wacc = init()
+            for idx in range(len(padded_coords)):
+                with timer.span("read_block"):
+                    pb = pending.result()
+                if idx + 1 < len(padded_coords):
+                    pending = prefetcher.submit(fetch, idx + 1)
+                with timer.span("device_accumulate"):
+                    s0, s1, s2 = (padded_coords[idx, :3] + pad_off).tolist()
+                    acc, wacc = step(acc, wacc,
+                                     jnp.asarray(pb, jnp.uint8),
+                                     jnp.int32(s0), jnp.int32(s1),
+                                     jnp.int32(s2))
+                if progress is not None:
+                    progress(idx + 1, len(padded_coords))
+            prefetcher.shutdown(wait=False)
+            with timer.span("finalize_d2h"):
+                out_u8 = np.asarray(finalize(acc, wacc, pad_off,
+                                             in_shape.tolist()))
+
+            def write_shard(coords):
+                i0, j0, k0, i1, j1, k1 = coords
+                final[i0:i1, j0:j1, k0:k1] = out_u8[i0:i1, j0:j1, k0:k1]
+
+            with timer.span("writeback"):
+                from joblib import Parallel, delayed
+
+                Parallel(n_jobs=-1, prefer="threads")(
+                    delayed(write_shard)(coords)
+                    for coords in blending.get_shard_coordinates(
+                        in_shape, shard_size=shard_size))
+        else:
+            if predict_block is None:
+                predict_block, bs = make_block_predictor(
+                    model, params, input_size, num_classes, batch_size, axes,
+                    window)
             if use_ram:
-                pred[i0:i1, j0:j1, k0:k1] += block_pred[li0:li1, lj0:lj1, lk0:lk1]
-                weight[i0:i1, j0:j1, k0:k1] += win_np[li0:li1, lj0:lj1, lk0:lk1]
-            else:
+                pred = np.zeros(out_shape, dtype=np.float32)
+                weight = np.zeros(tuple(in_shape), dtype=np.float32)
+            else:  # reference-style temp zarr accumulators
+                tmp = root / "temp"
+                pred = storage.open(tmp / "pred.zarr", mode="w").create_array(
+                    name="0", shape=out_shape,
+                    chunks=(chunk_size,) * 3 + (num_classes,),
+                    shards=(shard_size,) * 3 + (num_classes,),
+                    dtype="float32", overwrite=True)
+                weight = storage.open(
+                    tmp / "weight.zarr", mode="w").create_array(
+                    name="0", shape=tuple(in_shape), chunks=(chunk_size,) * 3,
+                    shards=(shard_size,) * 3, dtype="float32", overwrite=True)
+
+            for idx in range(len(padded_coords)):
+                with timer.span("read_block"):
+                    pb = pending.result()
+                if idx + 1 < len(padded_coords):
+                    pending = prefetcher.submit(fetch, idx + 1)
+                with timer.span("device_2_5d"):
+                    block_pred = np.asarray(predict_block(pb),
+                                            dtype=np.float32)
+                i0, j0, k0, i1, j1, k1 = block_coords[idx]
+                li0, lj0, lk0, li1, lj1, lk1 = local_coords[idx]
                 pred[i0:i1, j0:j1, k0:k1] = (
                     pred[i0:i1, j0:j1, k0:k1]
                     + block_pred[li0:li1, lj0:lj1, lk0:lk1])
                 weight[i0:i1, j0:j1, k0:k1] = (
                     weight[i0:i1, j0:j1, k0:k1]
                     + win_np[li0:li1, lj0:lj1, lk0:lk1])
-            if progress is not None:
-                progress(idx + 1, len(padded_coords))
+                if progress is not None:
+                    progress(idx + 1, len(padded_coords))
+            prefetcher.shutdown(wait=False)
 
-        prefetcher.shutdown(wait=False)
+            # shard-aligned normalization + writeback: one thread per shard
+            # so no two threads ever touch the same shard file (the
+            # reference's write partitioning, predict.py:251-256)
+            def normalize_shard(coords):
+                i0, j0, k0, i1, j1, k1 = coords
+                p = pred[i0:i1, j0:j1, k0:k1]
+                w = weight[i0:i1, j0:j1, k0:k1]
+                final[i0:i1, j0:j1, k0:k1] = (
+                    255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
 
-        # shard-aligned normalization + writeback: one thread per shard so no
-        # two threads ever touch the same shard file (the reference's write
-        # partitioning, predict.py:251-256)
-        def normalize_shard(coords):
-            i0, j0, k0, i1, j1, k1 = coords
-            p = pred[i0:i1, j0:j1, k0:k1]
-            w = weight[i0:i1, j0:j1, k0:k1]
-            final[i0:i1, j0:j1, k0:k1] = (
-                255 * p / np.maximum(w, 1e-3)[..., None]).astype("uint8")
+            with timer.span("normalize_writeback"):
+                from joblib import Parallel, delayed
 
-        with timer.span("normalize_writeback"):
-            from joblib import Parallel, delayed
+                Parallel(n_jobs=-1, prefer="threads")(
+                    delayed(normalize_shard)(coords)
+                    for coords in blending.get_shard_coordinates(
+                        in_shape, shard_size=shard_size))
 
-            Parallel(n_jobs=-1, prefer="threads")(
-                delayed(normalize_shard)(coords)
-                for coords in blending.get_shard_coordinates(
-                    in_shape, shard_size=shard_size))
-
-        if not use_ram:
-            shutil.rmtree(root / "temp", ignore_errors=True)
+            if not use_ram:
+                shutil.rmtree(root / "temp", ignore_errors=True)
 
         with timer.span("multiscale"):
             storage.add_multiscales(save_path, scale=0.5)
         results.append({"volume": f, "seconds": time.time() - start_time,
                         "blocks": len(padded_coords), "batch_size": bs,
+                        "device_accumulator": bool(use_device),
                         "timings": timer.report()})
     return results

@@ -43,3 +43,38 @@ def test_predict_volumes_multichannel(tmp_path, rng):
         tmp_path / "data" / "predicted_volumes" / "rgbish.zarr", level=0)
     assert out.shape == (40, 40, 40, 2)
     assert np.asarray(out[:]).max() > 0
+
+
+def test_device_accumulator_matches_host_path(tmp_path, rng):
+    """The HBM-resident blending path must reproduce the host-RAM
+    accumulation voxel for voxel (same block order, same f32 adds, same
+    truncating uint8 cast)."""
+    import shutil
+
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.engine.predict import predict_volumes
+
+    samples.create_directories(tmp_path)
+    vol = (rng.random((48, 48, 48)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, tmp_path / "data" / "image_volumes" / "v.zarr",
+        chunk_size=16, shard_size=32)
+
+    r_dev = predict_volumes(input_size=32, num_classes=2, root=tmp_path,
+                            chunk_size=16, shard_size=32)
+    assert r_dev[0]["device_accumulator"] is True
+    dev = np.asarray(storage.read_volume(
+        tmp_path / "data" / "predicted_volumes" / "v.zarr", level=0)[:])
+
+    shutil.rmtree(tmp_path / "data" / "predicted_volumes")
+    r_host = predict_volumes(input_size=32, num_classes=2, root=tmp_path,
+                             chunk_size=16, shard_size=32,
+                             hbm_budget_bytes=0)
+    assert r_host[0]["device_accumulator"] is False
+    host = np.asarray(storage.read_volume(
+        tmp_path / "data" / "predicted_volumes" / "v.zarr", level=0)[:])
+
+    diff = np.abs(dev.astype(int) - host.astype(int))
+    assert (diff <= 1).all()                     # f32 reassociation knife-edge
+    assert (diff > 0).mean() < 1e-3
