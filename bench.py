@@ -308,8 +308,22 @@ def bench_inference():
     # overlapping 256^3 blocks cost ~3x the voxel work but compile reliably.
     # Set IUNET_BENCH_BLOCK=512 to attempt the single-block variant.
     block = int(os.environ.get("IUNET_BENCH_BLOCK", "256"))
+    # warm the S=block program on a block^3 crop (1 block) instead of a full
+    # extra 512^3 pass — same program signature, ~27x cheaper warmup
+    ws_warm = WS / "warm"
+    if not (ws_warm / "data" / "image_volumes" / "crop.zarr").is_dir():
+        from interactive_unet_tpu.engine import samples as S_
+        S_.create_directories(ws_warm)
+        vol = storage.read_volume(
+            WS / "data" / "image_volumes" / "bench_volume.zarr", level=0)
+        storage.create_multiscale_zarr(
+            np.asarray(vol[:block, :block, :block]),
+            ws_warm / "data" / "image_volumes" / "crop.zarr")
+    shutil.copytree(WS / "model", ws_warm / "model", dirs_exist_ok=True)
+    log(f"[infer] warming S={block} program on a {block}^3 crop...")
+    predict_volumes(input_size=block, num_classes=2, root=ws_warm)
+
     log(f"[infer] TPU 512^3 run (block {block})...")
-    predict_volumes(input_size=block, num_classes=2, root=WS)  # warm/compile
     t0 = time.perf_counter()
     r = predict_volumes(input_size=block, num_classes=2, root=WS)
     t_tpu = time.perf_counter() - t0
