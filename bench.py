@@ -247,6 +247,7 @@ def bench_inference():
 
     from interactive_unet_tpu import storage
     from interactive_unet_tpu.engine.predict import predict_volumes
+    from interactive_unet_tpu.ops import blending
 
     # -- small CPU-reference workspace (128^3 crop of the bench volume) ----
     ws_small = WS / "small"
@@ -308,20 +309,31 @@ def bench_inference():
     # overlapping 256^3 blocks cost ~3x the voxel work but compile reliably.
     # Set IUNET_BENCH_BLOCK=512 to attempt the single-block variant.
     block = int(os.environ.get("IUNET_BENCH_BLOCK", "256"))
-    # warm the S=block program on a block^3 crop (1 block) instead of a full
-    # extra 512^3 pass — same program signature, ~27x cheaper warmup
-    ws_warm = WS / "warm"
-    if not (ws_warm / "data" / "image_volumes" / "crop.zarr").is_dir():
-        from interactive_unet_tpu.engine import samples as S_
-        S_.create_directories(ws_warm)
-        vol = storage.read_volume(
-            WS / "data" / "image_volumes" / "bench_volume.zarr", level=0)
-        storage.create_multiscale_zarr(
-            np.asarray(vol[:block, :block, :block]),
-            ws_warm / "data" / "image_volumes" / "crop.zarr")
-    shutil.copytree(WS / "model", ws_warm / "model", dirs_exist_ok=True)
-    log(f"[infer] warming S={block} program on a {block}^3 crop...")
-    predict_volumes(input_size=block, num_classes=2, root=ws_warm)
+    # Warm the EXACT programs the timed 512^3 run uses: the device
+    # accumulator's step/finalize are specialized on the padded extent of
+    # the 512^3 tiling (e.g. 640^3 for block 256), so a smaller-volume warm
+    # run would compile the wrong program.  One synthetic block through the
+    # real (extent-sized) accumulator compiles everything at 1/27 the work.
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.engine.predict import (_load_model,
+                                                     make_device_accumulator)
+
+    log(f"[infer] warming the block-{block} accumulator programs...")
+    bc, pc, lc = blending.get_block_coordinates(
+        np.array([512, 512, 512]), block, 0.25)
+    pad_off = -pc[:, :3].min(axis=0)
+    pad_ext = pc[:, 3:].max(axis=0) + pad_off
+    model, params, _ = _load_model(WS, 1, 2)
+    init, step, fin, _bs = make_device_accumulator(
+        model, params, block, 2, pad_ext, None, (0, 1, 2),
+        blending.gaussian_3d(block, sigma=0.125))
+    acc, wacc = init()
+    acc, wacc = step(acc, wacc,
+                     jnp.zeros((block,) * 3, jnp.uint8),
+                     jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    np.asarray(fin(acc, wacc, pad_off, [512, 512, 512])).ravel()[:1]
+    del acc, wacc
 
     log(f"[infer] TPU 512^3 run (block {block})...")
     t0 = time.perf_counter()

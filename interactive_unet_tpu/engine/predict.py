@@ -196,8 +196,9 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
     removes blocks x (S,S,S,C) fp16 d2h (1.8 GB for 512^3/256) and all host
     read-modify-write.
 
-    Returns (step, finalize, bs): step(acc, wacc, block_u8, i, j, k) adds one
-    block at padded-space offset (i, j, k); finalize(acc, wacc, off, shape)
+    Returns (init, step, finalize, bs): init() -> zeroed (acc, wacc) device
+    buffers; step(acc, wacc, block_u8, i, j, k) adds one block at
+    padded-space offset (i, j, k); finalize(acc, wacc, off, shape)
     -> (shape..., classes) uint8."""
     S = input_size
     bs = batch_size or _auto_batch_size(S)
@@ -207,15 +208,21 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
 
     from functools import partial as _partial
 
-    @_partial(jax.jit, donate_argnums=(0, 1))
-    def step(acc, wacc, block_u8, i0, j0, k0):
-        pred = predict_fn(params, block_u8).astype(jnp.float32)
+    # params enter as a jit ARGUMENT (not closure constants): the compiled
+    # program is then identical across retrains, so the persistent compile
+    # cache keeps hitting after every parameter update
+    @_partial(jax.jit, donate_argnums=(1, 2))
+    def _step(p, acc, wacc, block_u8, i0, j0, k0):
+        pred = predict_fn(p, block_u8).astype(jnp.float32)
         cur = jax.lax.dynamic_slice(
             acc, (i0, j0, k0, 0), (S, S, S, acc.shape[-1]))
         acc = jax.lax.dynamic_update_slice(acc, cur + pred, (i0, j0, k0, 0))
         curw = jax.lax.dynamic_slice(wacc, (i0, j0, k0), (S, S, S))
         wacc = jax.lax.dynamic_update_slice(wacc, curw + win, (i0, j0, k0))
         return acc, wacc
+
+    def step(acc, wacc, block_u8, i0, j0, k0):
+        return _step(params, acc, wacc, block_u8, i0, j0, k0)
 
     def finalize(acc, wacc, off, shape):
         """Crop to the volume, normalize, cast — on device; one uint8 d2h."""
@@ -300,27 +307,38 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
             return blending.get_padded_block(volume, *padded_coords[idx])
 
         prefetcher = ThreadPoolExecutor(max_workers=1)
-        pending = prefetcher.submit(fetch, 0)
+
+        def run_blocks(consume):
+            """Prefetch-pipelined block loop shared by both accumulator
+            paths: the worker thread reads+pads block idx+1 while
+            ``consume(idx, block)`` handles block idx."""
+            pending = prefetcher.submit(fetch, 0)
+            for idx in range(len(padded_coords)):
+                with timer.span("read_block"):
+                    pb = pending.result()
+                if idx + 1 < len(padded_coords):
+                    pending = prefetcher.submit(fetch, idx + 1)
+                consume(idx, pb)
+                if progress is not None:
+                    progress(idx + 1, len(padded_coords))
+            prefetcher.shutdown(wait=False)
 
         if use_device:
             init, step, finalize, bs = make_device_accumulator(
                 model, params, input_size, num_classes, pad_ext,
                 batch_size, axes, window)
             acc, wacc = init()
-            for idx in range(len(padded_coords)):
-                with timer.span("read_block"):
-                    pb = pending.result()
-                if idx + 1 < len(padded_coords):
-                    pending = prefetcher.submit(fetch, idx + 1)
+
+            def consume(idx, pb):
+                nonlocal acc, wacc
                 with timer.span("device_accumulate"):
                     s0, s1, s2 = (padded_coords[idx, :3] + pad_off).tolist()
                     acc, wacc = step(acc, wacc,
                                      jnp.asarray(pb, jnp.uint8),
                                      jnp.int32(s0), jnp.int32(s1),
                                      jnp.int32(s2))
-                if progress is not None:
-                    progress(idx + 1, len(padded_coords))
-            prefetcher.shutdown(wait=False)
+
+            run_blocks(consume)
             with timer.span("finalize_d2h"):
                 out_u8 = np.asarray(finalize(acc, wacc, pad_off,
                                              in_shape.tolist()))
@@ -356,11 +374,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     name="0", shape=tuple(in_shape), chunks=(chunk_size,) * 3,
                     shards=(shard_size,) * 3, dtype="float32", overwrite=True)
 
-            for idx in range(len(padded_coords)):
-                with timer.span("read_block"):
-                    pb = pending.result()
-                if idx + 1 < len(padded_coords):
-                    pending = prefetcher.submit(fetch, idx + 1)
+            def consume(idx, pb):
                 with timer.span("device_2_5d"):
                     block_pred = np.asarray(predict_block(pb),
                                             dtype=np.float32)
@@ -372,9 +386,8 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                 weight[i0:i1, j0:j1, k0:k1] = (
                     weight[i0:i1, j0:j1, k0:k1]
                     + win_np[li0:li1, lj0:lj1, lk0:lk1])
-                if progress is not None:
-                    progress(idx + 1, len(padded_coords))
-            prefetcher.shutdown(wait=False)
+
+            run_blocks(consume)
 
             # shard-aligned normalization + writeback: one thread per shard
             # so no two threads ever touch the same shard file (the

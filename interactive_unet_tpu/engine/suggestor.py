@@ -172,6 +172,15 @@ class Suggestor:
         elif x.ndim == 4 and x.shape[1] <= 4 and x.shape[-1] > 4:
             x = np.moveaxis(x, 1, -1)  # NCHW -> NHWC
 
+        if self.fit_stride > 1:
+            h = x.shape[1]
+            if h % self.fit_stride or (h // self.fit_stride) % 32:
+                raise ValueError(
+                    f"fit_stride={self.fit_stride} on a {h}px slice leaves "
+                    f"{h % self.fit_stride and 'a non-integer' or h // self.fit_stride}"
+                    f" working size; need H divisible by fit_stride and "
+                    f"H/fit_stride divisible by 32 (encoder depth)")
+
         if num_classes != self.num_classes or self.num_channels != x.shape[-1]:
             uploads = self.x_uploads
             self.__init__(num_channels=x.shape[-1], num_classes=num_classes,

@@ -239,10 +239,19 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # program per epoch keeps the live plot semantics.  The (model,
     # optimizer, fn) triple is cached per signature so a retrain click
     # re-traces nothing either way.
-    epochs_per_call = 1 if progress is not None else max(1, cfg.epochs)
+    # Fixed chunk size keeps the program-cache key stable when the user
+    # changes the epoch count between clicks (10 epochs = 2 chunks of 5 =
+    # the SAME compiled program as 20 epochs = 4 chunks); dispatches are
+    # async so extra chunks cost no round-trips.  A remainder reuses the
+    # bounded {1..CHUNK-1} program set.
+    CHUNK = 5
+    epochs_per_call = 1 if progress is not None else min(max(cfg.epochs, 1),
+                                                         CHUNK)
     model, optimizer, epoch_fn = _fused_program(cfg, cap_tr, cap_va,
                                                 mesh_key, batch_sharding,
                                                 epochs=epochs_per_call)
+    # ^ chunks of epochs_per_call; a shorter final chunk swaps programs in
+    # the loop below (bounded set, cached like any other signature)
 
     key = jax.random.key(seed)
     params = model.init(jax.random.key(seed + 1),
@@ -289,20 +298,25 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # ~0.3-1 s each).  Streaming callers (live plot) can pass `progress` to
     # opt back into per-epoch syncing.
     epoch_logs = []
-    n_calls = -(-cfg.epochs // epochs_per_call)
-    for call in range(n_calls):
+    remaining = cfg.epochs
+    while remaining > 0:
+        this = min(remaining, epochs_per_call)
+        if this != epochs_per_call:  # remainder chunk: its own cached program
+            _, _, epoch_fn = _fused_program(cfg, cap_tr, cap_va, mesh_key,
+                                            batch_sharding, epochs=this)
         key, sub = jax.random.split(key)
         params, opt_state, best_params, best_val, logs = epoch_fn(
             params, opt_state, best_params, best_val, sub, *data,
             jnp.int32(n_tr), jnp.int32(n_va))
         epoch_logs.append(logs)
+        remaining -= this
         if progress is not None:
             row = np.asarray(logs[0])
-            progress(call, cfg.epochs,
+            progress(cfg.epochs - remaining - 1, cfg.epochs,
                      dict(zip(names, map(float, row[:4]))),
                      dict(zip(names, map(float, row[4:]))))
-    all_rows = np.concatenate([np.asarray(l) for l in epoch_logs],
-                              axis=0)[:cfg.epochs]
+    all_rows = (np.concatenate([np.asarray(l) for l in epoch_logs], axis=0)
+                if epoch_logs else np.zeros((0, 8), np.float32))[:cfg.epochs]
     for epoch, row in enumerate(all_rows):
         train_row = dict(zip(names, map(float, row[:4])))
         val_row = dict(zip(names, map(float, row[4:])))

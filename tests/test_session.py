@@ -146,13 +146,17 @@ def test_slice_generation_token(tiny_ws):
     assert state.image_features is not f0
 
 
-def test_example_download_offline_fallback(tmp_path):
-    """No egress -> download returns False and make_example_data falls back
-    to the synthetic phantom (reference utils.py:100-119 capability)."""
+def test_example_download_offline_fallback(tmp_path, monkeypatch):
+    """Offline -> download returns False and make_example_data falls back
+    to the synthetic phantom (reference utils.py:100-119 capability).
+    The URL is pinned to a dead address so the test NEVER hits the real
+    network even on machines with egress."""
     from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.session import state as state_mod
     from interactive_unet_tpu.session.state import (download_example_data,
                                                     make_example_data)
 
+    monkeypatch.setattr(state_mod, "_EXAMPLE_URL", "http://127.0.0.1:9/x")
     samples.create_directories(tmp_path)
     assert download_example_data(tmp_path, url="http://127.0.0.1:9/x",
                                  timeout=2) is False
