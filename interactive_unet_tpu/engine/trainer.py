@@ -254,21 +254,28 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # the loop below (bounded set, cached like any other signature)
 
     key = jax.random.key(seed)
-    params = model.init(jax.random.key(seed + 1),
-                        jnp.zeros_like(jnp.asarray(x_tr[:1])))
     if resume:
+        # no device init compute on a resume click: restore onto a shape
+        # template (eval_shape runs no FLOPs) — the checkpoint provides
+        # every value
         from flax import serialization
-        params = serialization.from_state_dict(params, state_dict)
-    elif cfg.pretrained:
-        # graft local torch ImageNet weights when available (reference
-        # unet.py:28-31 capability; utils/torch_import.py for the contract)
-        from ..utils.torch_import import maybe_load_pretrained
-        params, n_grafted = maybe_load_pretrained(
-            params, cfg.encoder_name, num_channels=cfg.num_channels)
-        if n_grafted:
-            # stderr: the train-worker protocol owns stdout (session/app.py)
-            print(f"pretrained: grafted {n_grafted} arrays into "
-                  f"{cfg.encoder_name}", file=sys.stderr)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.key(seed + 1),
+                               jnp.zeros_like(jnp.asarray(x_tr[:1]))))
+        params = serialization.from_state_dict(template, state_dict)
+    else:
+        params = model.init(jax.random.key(seed + 1),
+                            jnp.zeros_like(jnp.asarray(x_tr[:1])))
+        if cfg.pretrained:
+            # graft local torch ImageNet weights when available (reference
+            # unet.py:28-31 capability; utils/torch_import.py for contract)
+            from ..utils.torch_import import maybe_load_pretrained
+            params, n_grafted = maybe_load_pretrained(
+                params, cfg.encoder_name, num_channels=cfg.num_channels)
+            if n_grafted:
+                # stderr: the train-worker protocol owns stdout (session/app)
+                print(f"pretrained: grafted {n_grafted} arrays into "
+                      f"{cfg.encoder_name}", file=sys.stderr)
 
     opt_state = optimizer.init(params)
     # lr rides inside opt_state (inject_hyperparams), so the lr override on a
