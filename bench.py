@@ -21,6 +21,15 @@ Conventions: min-of-reps timing on both sides (the tunnel runtime has large
 scheduling noise); the jax persistent compilation cache (jaxsetup) is active
 so compile costs are once-per-machine, and every metric is measured on its
 second call (steady state).
+
+Load-proofing (the TPU is a TIME-SHARED tunnel device whose usable capacity
+swings ~10x between windows — docs/BENCH_ROUND2_NOTES.md): every emitted
+metric line carries ``device_ceiling_tflops``, a bf16-matmul throughput
+probe measured immediately before that metric, so a busy window is visible
+in the JSON itself.  When the opening probe reads below
+IUNET_BENCH_QUIET_TFLOPS (default 5), the bench waits up to
+IUNET_BENCH_WAIT seconds (default 600) re-probing for a quieter window
+before proceeding (it always proceeds eventually).
 """
 
 import json
@@ -44,10 +53,59 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+_LAST_CEILING = [None]
+
+
+def probe_device_ceiling(reps: int = 6, rounds: int = 3) -> float:
+    """bf16 2048^2 matmul TFLOP/s, dispatches queued + one trailing d2h so
+    tunnel RTT amortizes; min-of-rounds.  Small enough to never stress the
+    remote compile service, large enough to exercise the MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        a = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (2048, 2048)), jnp.bfloat16)
+        f = jax.jit(lambda a: (a @ a).astype(jnp.bfloat16))
+        np.asarray(f(a)).ravel()[:1]  # compile + load
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            out = a
+            for _ in range(reps):
+                out = f(out)
+            np.asarray(out).ravel()[:1]
+            best = min(best, (time.perf_counter() - t0) / reps)
+        tflops = 2 * 2048 ** 3 / best / 1e12
+    except Exception as e:  # probe is diagnostic; never kill the bench
+        log(f"[ceiling] probe failed: {e!r}")
+        tflops = float("nan")
+    _LAST_CEILING[0] = round(tflops, 2)
+    return tflops
+
+
+def wait_for_quiet_window():
+    """Block (bounded) until the device ceiling probe clears the quiet-window
+    threshold, so the driver's absolute-target metrics aren't decided by
+    whoever else is on the shared device at that instant."""
+    target = float(os.environ.get("IUNET_BENCH_QUIET_TFLOPS", "5"))
+    budget = float(os.environ.get("IUNET_BENCH_WAIT", "600"))
+    t0 = time.time()
+    c = probe_device_ceiling()
+    log(f"[ceiling] opening probe: {c:.1f} TFLOP/s (quiet threshold {target})")
+    while c < target and time.time() - t0 < budget:
+        time.sleep(30)
+        c = probe_device_ceiling()
+        log(f"[ceiling] re-probe: {c:.1f} TFLOP/s "
+            f"({time.time() - t0:.0f}s/{budget:.0f}s waited)")
+    return c
+
+
 def emit(metric, value, unit, vs_baseline):
     print(json.dumps({"metric": metric, "value": round(float(value), 3),
                       "unit": unit,
-                      "vs_baseline": round(float(vs_baseline), 2)}),
+                      "vs_baseline": round(float(vs_baseline), 2),
+                      "device_ceiling_tflops": _LAST_CEILING[0]}),
           flush=True)
 
 
@@ -118,6 +176,7 @@ def bench_slice_sampling():
     # -- device throughput ---------------------------------------------------
     a, b, o, _ = frames[0]
     np.asarray(pv.extract_oriented(a, b, o, S, 1))  # compile/warm
+    probe_device_ceiling()
     rounds = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -185,6 +244,7 @@ def bench_retrain():
     t0 = time.perf_counter()
     train_model(**kwargs)
     log(f"[retrain] first: {time.perf_counter() - t0:.1f} s")
+    probe_device_ceiling()
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -211,6 +271,7 @@ def bench_suggestor():
     t0 = time.perf_counter()
     sug.make_suggestions(img, mask, slice_token=1)
     log(f"[suggestor] first: {time.perf_counter() - t0:.1f} s")
+    probe_device_ceiling()
     times = []
     for i in range(3):
         mask[200 + 10 * i:220 + 10 * i, 100:200] = C.COLORS[1]  # new stroke
@@ -233,11 +294,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 sys.path.insert(0, sys.argv[1])
 ws = sys.argv[2]
 from interactive_unet_tpu.engine.predict import predict_volumes
-# warm + measure on the 128^3 volume (steady state: second run)
+# warm + min-of-3 on the 128^3 volume (the host is ALSO time-shared: the
+# same measurement has read 4.3-34 s across windows, so a single sample
+# would make vs_baseline meaningless — round-2 weak item #2)
 r = predict_volumes(input_size=128, num_classes=2, root=ws)
-t0 = time.time()
-r = predict_volumes(input_size=128, num_classes=2, root=ws)
-print(json.dumps({"seconds": time.time() - t0,
+times = []
+for _ in range(3):
+    t0 = time.time()
+    r = predict_volumes(input_size=128, num_classes=2, root=ws)
+    times.append(time.time() - t0)
+print(json.dumps({"seconds": min(times), "all_seconds": times,
                   "blocks": r[0]["blocks"]}), flush=True)
 """
 
@@ -259,6 +325,8 @@ def bench_inference():
         crop = np.asarray(vol[:128, :128, :128])
         storage.create_multiscale_zarr(
             crop, ws_small / "data" / "image_volumes" / "crop.zarr")
+    from interactive_unet_tpu.engine import checkpoint as _ck
+    _ck.wait_pending()  # retrain's background save must land before the copy
     shutil.copytree(WS / "model", ws_small / "model", dirs_exist_ok=True)
 
     # TPU on the 128^3 crop (for Dice parity + CPU scaling)
@@ -281,7 +349,8 @@ def bench_inference():
         sys.exit(1)
     cpu = json.loads(proc.stdout.strip().splitlines()[-1])
     t_cpu_small = cpu["seconds"]
-    log(f"[infer] CPU 128^3: {t_cpu_small:.1f} s")
+    log(f"[infer] CPU 128^3: {t_cpu_small:.1f} s "
+        f"(min of {cpu.get('all_seconds', [t_cpu_small])})")
     cpu_small = np.asarray(storage.read_volume(
         ws_small / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
 
@@ -336,6 +405,7 @@ def bench_inference():
     del acc, wacc
 
     log(f"[infer] TPU 512^3 run (block {block})...")
+    probe_device_ceiling()
     t0 = time.perf_counter()
     r = predict_volumes(input_size=block, num_classes=2, root=WS)
     t_tpu = time.perf_counter() - t0
@@ -348,11 +418,34 @@ def bench_inference():
     emit("fullvolume_inference_512", voxels / t_tpu / 1e6, "Mvoxels/s",
          t_cpu_512 / t_tpu)
 
+    # Opportunistic best-case record (VERDICT r2 #10): in a quiet window,
+    # try the single-512-block program (1/3 the voxel work of the 256
+    # tiling).  It once crashed the tunnel's remote-compile service, hence
+    # the guard and the default-off absolute gate: a failure here never
+    # fails the bench.
+    quiet = float(os.environ.get("IUNET_BENCH_QUIET_TFLOPS", "5"))
+    if (os.environ.get("IUNET_BENCH_TRY_512", "1") != "0"
+            and block != 512 and (_LAST_CEILING[0] or 0) >= quiet):
+        try:
+            import traceback
+            log("[infer] quiet window: attempting single-512-block run...")
+            t0 = time.perf_counter()
+            predict_volumes(input_size=512, num_classes=2, root=WS)
+            t_512 = time.perf_counter() - t0
+            log(f"[infer] TPU 512^3 single-block: {t_512:.1f} s")
+            emit("fullvolume_inference_512_block512", voxels / t_512 / 1e6,
+                 "Mvoxels/s", t_cpu_512 / t_512)
+        except Exception:
+            log(f"[infer] single-512-block attempt failed (non-fatal):\n"
+                f"{traceback.format_exc(limit=3)}")
+
 
 def main():
     which = sys.argv[1:] or ["slice", "retrain", "suggestor", "inference"]
     import jax
     log(f"platform: {jax.default_backend()}, devices: {jax.devices()}")
+    if jax.default_backend() != "cpu":
+        wait_for_quiet_window()
 
     failed = []
 

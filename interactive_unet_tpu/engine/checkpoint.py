@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import struct
+import threading
 from pathlib import Path
 
 from flax import serialization
@@ -18,6 +19,56 @@ from flax import serialization
 from ..config import TrainConfig
 
 MAGIC = b"IUTPU1\n"
+
+# In-flight background saves, keyed by resolved path.  The retrain click
+# returns as soon as the device has the best params; the ~31 MB device->host
+# transfer + file write happen here, off the click's critical path
+# (VERDICT r2 #3).  Sequencing: any same-process load (load_checkpoint) or a
+# subsequent save first joins the pending thread; the train worker joins
+# before replying so cross-process readers (the app's predict path) are
+# ordered too, and the write itself is tmp+atomic-rename so a racing reader
+# can never observe a partial file.
+_PENDING: dict[str, threading.Thread] = {}
+_PENDING_LOCK = threading.Lock()
+
+
+def wait_pending(path: str | Path | None = None) -> None:
+    """Join the in-flight background save for ``path`` (all paths if None)."""
+    if path is None:
+        with _PENDING_LOCK:
+            threads = list(_PENDING.values())
+    else:
+        with _PENDING_LOCK:
+            t = _PENDING.get(str(Path(path).resolve()))
+        threads = [t] if t is not None else []
+    for t in threads:
+        t.join()
+
+
+def save_checkpoint_async(path: str | Path, params,
+                          config: TrainConfig) -> threading.Thread:
+    """Start ``save_checkpoint`` (device->host transfer included) in a
+    background thread.  ``params`` may live on device; jax.device_get runs in
+    the thread."""
+    path = Path(path)
+    key = str(path.resolve())
+    wait_pending(path)  # serialize saves to the same file
+
+    def run():
+        try:
+            import jax
+
+            save_checkpoint(path, jax.device_get(params), config)
+        finally:
+            with _PENDING_LOCK:
+                if _PENDING.get(key) is t:
+                    del _PENDING[key]
+
+    t = threading.Thread(target=run, daemon=True)
+    with _PENDING_LOCK:
+        _PENDING[key] = t
+    t.start()
+    return t
 
 
 def save_checkpoint(path: str | Path, params, config: TrainConfig):
@@ -40,6 +91,7 @@ def load_checkpoint(path: str | Path, params_template=None):
     With a ``params_template`` the blob is restored into that pytree
     structure; without one a raw nested state dict is returned.
     """
+    wait_pending(path)  # a just-finished training run may still be writing
     with open(path, "rb") as f:
         magic = f.read(len(MAGIC))
         if magic != MAGIC:

@@ -66,11 +66,17 @@ def load_resliced_annotations(set_type: str = "train", count: int = 100,
         need = count - len(annotations)
         if need <= 0:
             break
-        # spread the draw over volumes; modest oversampling absorbs rejects
+        # spread the draw over volumes; modest oversampling absorbs rejects.
+        # K is bucketed to a power of two so the batched-gather program's
+        # static shape stays stable as `need` shrinks between rounds and as
+        # the dataset grows — each distinct K would otherwise be a fresh
+        # multi-minute cold compile of the packed-gather program (same
+        # rationale as fused_train.capacity_bucket)
         per_vol = -(-need // len(dataset))
+        k_bucket = 1 << (per_vol - 1).bit_length() if per_vol > 1 else 1
         for vd in dataset:
             imgs, masks, weights, _ = vd.sample_batch(
-                per_vol, weight_channel=weight_channel,
+                k_bucket, weight_channel=weight_channel,
                 slice_width=slice_width)
             for i in range(per_vol):
                 # rejection: the slice must intersect annotated voxels

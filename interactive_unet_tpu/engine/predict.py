@@ -47,6 +47,8 @@ def _load_model(root, num_channels, num_classes):
     interactive predict-slice path doesn't rebuild/re-init per call (the
     reference reloads the Lightning ckpt every call, predict.py:22-27)."""
     model_path = Path(root) / "model" / "model.ckpt"
+    ckpt_io.wait_pending(model_path)  # before mtime: a background save may
+    # still be writing the file this cache key is about to fingerprint
     cache_key = (str(model_path),
                  model_path.stat().st_mtime if model_path.is_file() else None,
                  num_channels, num_classes)
@@ -89,6 +91,11 @@ def predict_slice(image_slice, num_channels=1, num_classes=2,
         x = x[:, :, None]
     num_channels = x.shape[-1]
     model, params, cfg = _load_model(root, num_channels, num_classes)
+    if cfg.num_channels != num_channels:
+        raise ValueError(
+            f"slice has {num_channels} channel(s) but the saved model was "
+            f"trained with num_channels={cfg.num_channels}; re-train or pass "
+            f"a matching slice")
     x = (x[None] / 255).astype("float32")
     if return_probabilities:
         return np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
@@ -114,13 +121,42 @@ def _colored_fn(model, num_classes):
     return _COLORED_CACHE[key]
 
 
-def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30) -> int:
-    """Static batch-size choice: first-level activations dominate
-    (~input_size^2 * width * 4 bytes each); replaces the reference's
-    CUDA-OOM doubling probe with a deterministic estimate."""
-    per_slice = input_size * input_size * 64 * 4 * 8  # widthx4bytes, ~8 levels
+def _auto_batch_size(input_size: int, hbm_budget_bytes=4 << 30,
+                     num_channels: int = 1, width: int = 64) -> int:
+    """Static batch-size guess: first-level activations dominate
+    (~input_size^2 * width * 4 bytes each, ~8 live tensors at peak).
+
+    This replaces the reference's CUDA-OOM doubling probe (predict.py:49-77)
+    with an estimate — but unlike round 2's fixed constant it scales with
+    the encoder width/channels, and predict_volumes validates it against the
+    device: an actual RESOURCE_EXHAUSTED halves the batch and retries
+    (_shrink_batch ladder), so a wrong guess degrades instead of dying."""
+    per_slice = input_size * input_size * max(width, num_channels * 16) * 4 * 8
     bs = max(1, int(hbm_budget_bytes / per_slice))
     # round down to a divisor of input_size so the device loop has no remainder
+    while input_size % bs:
+        bs -= 1
+    return bs
+
+
+def _encoder_width(model) -> int:
+    """First-stage channel width of the model's encoder (activation-memory
+    estimate input); 64 when the encoder doesn't expose widths."""
+    enc = getattr(model, "encoder", None)
+    widths = getattr(enc, "widths", None)
+    try:
+        return int(widths[0]) if widths else 64
+    except Exception:
+        return 64
+
+
+def _is_oom(err: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(err) or "Out of memory" in str(err)
+
+
+def _shrink_batch(input_size: int, bs: int) -> int:
+    """Next rung of the OOM fallback ladder: halve, keep a divisor of S."""
+    bs = max(1, bs // 2)
     while input_size % bs:
         bs -= 1
     return bs
@@ -180,7 +216,8 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
                          batch_size: int | None = None,
                          axes=(0, 1, 2), window=None):
     """Returns (fn: (S,S,S[,C]) uint8 block -> (S,S,S,classes), batch_size)."""
-    bs = batch_size or _auto_batch_size(input_size)
+    bs = batch_size or _auto_batch_size(input_size,
+                                        width=_encoder_width(model))
     fn = jax.jit(make_block_predict_fn(model, input_size, num_classes, bs,
                                        axes, window))
     return lambda block: fn(params, jnp.asarray(block, jnp.uint8)), bs
@@ -201,9 +238,11 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
     padded-space offset (i, j, k); finalize(acc, wacc, off, shape)
     -> (shape..., classes) uint8."""
     S = input_size
-    bs = batch_size or _auto_batch_size(S)
+    bs = batch_size or _auto_batch_size(S, width=_encoder_width(model))
     predict_fn = make_block_predict_fn(model, S, num_classes, bs, axes,
                                        window)
+    if window is None:  # match make_block_predictor's contract: uniform
+        window = np.ones((S, S, S), np.float32)  # weights == block counting
     win = jnp.asarray(window, jnp.float32)
 
     from functools import partial as _partial
@@ -225,10 +264,16 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
         return _step(params, acc, wacc, block_u8, i0, j0, k0)
 
     def finalize(acc, wacc, off, shape):
-        """Crop to the volume, normalize, cast — on device; one uint8 d2h."""
+        """Crop to the volume, normalize, cast — on device; one uint8 d2h.
+
+        No buffer donation here: the f32 accumulators can never alias the
+        uint8 output (XLA would warn 'donated buffers were not usable' and
+        copy anyway); they are freed when the caller drops its references.
+        The per-block ``step`` IS donating — that is the path where an
+        unusable donation would cost a fresh multi-GB accumulator copy."""
         sl = tuple(slice(int(o), int(o) + int(s)) for o, s in zip(off, shape))
 
-        @_partial(jax.jit, donate_argnums=(0, 1))
+        @jax.jit
         def _fin(acc, wacc):
             p = acc[sl + (slice(None),)]
             w = jnp.maximum(wacc[sl], 1e-3)
@@ -265,7 +310,13 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
 
     volume_files = sorted(glob.glob(str(root / "data" / "image_volumes" / "*.zarr")))
     window = blending.gaussian_3d(input_size, sigma=0.125)
-    predict_block = None  # built lazily for the host paths
+    _predictors: dict = {}  # bs -> host-path block predictor (reused)
+
+    def host_predictor(bs):
+        if bs not in _predictors:
+            _predictors[bs] = make_block_predictor(
+                model, params, input_size, num_classes, bs, axes, window)[0]
+        return _predictors[bs]
 
     results = []
     for f in volume_files:
@@ -306,12 +357,12 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
         def fetch(idx):
             return blending.get_padded_block(volume, *padded_coords[idx])
 
-        prefetcher = ThreadPoolExecutor(max_workers=1)
-
         def run_blocks(consume):
             """Prefetch-pipelined block loop shared by both accumulator
             paths: the worker thread reads+pads block idx+1 while
-            ``consume(idx, block)`` handles block idx."""
+            ``consume(idx, block)`` handles block idx.  A fresh executor per
+            call so an OOM-laddered retry gets a live one."""
+            prefetcher = ThreadPoolExecutor(max_workers=1)
             pending = prefetcher.submit(fetch, 0)
             for idx in range(len(padded_coords)):
                 with timer.span("read_block"):
@@ -323,10 +374,11 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     progress(idx + 1, len(padded_coords))
             prefetcher.shutdown(wait=False)
 
-        if use_device:
+        def attempt_device(bs_try):
+            """Device-accumulator path; raises on OOM (caller ladders)."""
             init, step, finalize, bs = make_device_accumulator(
                 model, params, input_size, num_classes, pad_ext,
-                batch_size, axes, window)
+                bs_try, axes, window)
             acc, wacc = init()
 
             def consume(idx, pb):
@@ -354,11 +406,10 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     delayed(write_shard)(coords)
                     for coords in blending.get_shard_coordinates(
                         in_shape, shard_size=shard_size))
-        else:
-            if predict_block is None:
-                predict_block, bs = make_block_predictor(
-                    model, params, input_size, num_classes, batch_size, axes,
-                    window)
+            return bs
+
+        def attempt_host(bs):
+            predict_block = host_predictor(bs)
             if use_ram:
                 pred = np.zeros(out_shape, dtype=np.float32)
                 weight = np.zeros(tuple(in_shape), dtype=np.float32)
@@ -409,6 +460,34 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
 
             if not use_ram:
                 shutil.rmtree(root / "temp", ignore_errors=True)
+            return bs
+
+        # OOM fallback ladder (replaces the reference's CUDA-OOM doubling
+        # probe, predict.py:49-77): run with the estimated batch size; on
+        # RESOURCE_EXHAUSTED halve the batch, and when a batch of 1 still
+        # OOMs on the device accumulator, drop to the host accumulator.
+        bs_try = batch_size or _auto_batch_size(
+            input_size, num_channels=num_channels,
+            width=_encoder_width(model))
+        while True:
+            try:
+                bs = (attempt_device(bs_try) if use_device
+                      else attempt_host(bs_try))
+                break
+            except Exception as e:
+                if not _is_oom(e):
+                    raise
+                if bs_try > 1:
+                    new_bs = _shrink_batch(input_size, bs_try)
+                    print(f"predict_volumes: device OOM at batch {bs_try}; "
+                          f"retrying with batch {new_bs}")
+                    bs_try = new_bs
+                elif use_device:
+                    use_device = False
+                    print("predict_volumes: device accumulator does not fit "
+                          "HBM; falling back to the host accumulator")
+                else:
+                    raise
 
         with timer.span("multiscale"):
             storage.add_multiscales(save_path, scale=0.5)

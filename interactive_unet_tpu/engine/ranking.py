@@ -27,8 +27,10 @@ from ..ops.slicer import Slicer
 
 @partial(jax.jit, static_argnames=("apply_fn", "score"))
 def _score_slices(apply_fn, params, slices, score: str = "entropy"):
-    """slices (K,S,S) float in [0,1] -> (K,) uncertainty scores."""
-    probs = apply_fn(params, slices[..., None])  # (K,S,S,C)
+    """slices (K,S,S[,C]) float in [0,1] -> (K,) uncertainty scores."""
+    if slices.ndim == 3:
+        slices = slices[..., None]
+    probs = apply_fn(params, slices)  # (K,S,S,C)
     if score == "margin":
         top2 = jax.lax.top_k(probs, 2)[0]
         return jnp.mean(1.0 - (top2[..., 0] - top2[..., 1]), axis=(1, 2))
@@ -43,20 +45,30 @@ def rank_slices(model, params, volume, num_candidates: int = 16,
     """Propose annotation targets: returns a list of dicts
     {"slicer": Slicer.to_dict(), "score": float}, most uncertain first.
 
-    ``volume`` is a (D,H,W) array-like; pass a prebuilt ``packed``
+    ``volume`` is a (D,H,W[,C]) array-like; pass a prebuilt ``packed``
     PackedVolume to skip re-packing (the interactive session keeps one).
+    Multi-channel (4-D) volumes and sessions whose packed table exceeded the
+    HBM budget (packed=None after resident()) extract candidates host-side.
     """
-    volume_shape = volume.shape if packed is None else packed.shape
+    volume_shape = (volume.shape if packed is None else packed.shape)[:3]
     slicer = Slicer(volume_shape, seed=seed)
-    pv = packed or PackedVolume(np.asarray(volume[:, :, :]))
+    pv = packed
+    if pv is None and getattr(volume, "ndim", 3) == 3 \
+            and np.prod(volume_shape) < (1 << 28):  # small: pack ad hoc
+        pv = PackedVolume(np.asarray(volume[:, :, :]))
 
     frames = []
     stack = []
     for _ in range(num_candidates):
         slicer.randomize(sampling_mode=sampling_mode)
         frames.append(slicer.to_dict())
-        stack.append(pv.extract_slicer(slicer, axis=0,
-                                       slice_width=slice_width, order=1))
+        if pv is not None:
+            stack.append(pv.extract_slicer(slicer, axis=0,
+                                           slice_width=slice_width, order=1))
+        else:  # host bbox path (4-D / over-HBM-budget volumes)
+            stack.append(jnp.asarray(slicer.get_slice(
+                volume, axis=0, slice_width=slice_width, order=1),
+                jnp.float32))
     slices = jnp.stack(stack) / 255.0
 
     scores = np.asarray(_score_slices(model.apply, params, slices, score))

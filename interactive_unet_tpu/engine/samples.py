@@ -29,11 +29,29 @@ from ..ops import colors as C
 
 
 def _imsave(path: Path, arr: np.ndarray):
+    # channel counts PIL has no mode for (e.g. 2-channel volumes) are saved
+    # as one TIFF page per channel; _imread reassembles them
+    if arr.ndim == 3 and arr.shape[2] not in (3, 4):
+        if arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        else:
+            pages = [Image.fromarray(arr[:, :, c])
+                     for c in range(arr.shape[2])]
+            pages[0].save(str(path), save_all=True, append_images=pages[1:])
+            return
     Image.fromarray(arr).save(str(path))
 
 
 def _imread(path) -> np.ndarray:
-    return np.asarray(Image.open(str(path)))
+    img = Image.open(str(path))
+    n = getattr(img, "n_frames", 1)
+    if n > 1:  # multi-page TIFF: one page per channel (_imsave)
+        chans = []
+        for i in range(n):
+            img.seek(i)
+            chans.append(np.asarray(img))
+        return np.stack(chans, axis=-1)
+    return np.asarray(img)
 
 
 def normalize(x):

@@ -169,17 +169,19 @@ class Suggestor:
         x = np.asarray(image_features, dtype=np.float32)
         if x.ndim == 2:
             x = x[None, :, :, None]
+        elif x.ndim == 3:            # (H, W, C) multi-channel slice
+            x = x[None]
         elif x.ndim == 4 and x.shape[1] <= 4 and x.shape[-1] > 4:
             x = np.moveaxis(x, 1, -1)  # NCHW -> NHWC
 
         if self.fit_stride > 1:
-            h = x.shape[1]
-            if h % self.fit_stride or (h // self.fit_stride) % 32:
-                raise ValueError(
-                    f"fit_stride={self.fit_stride} on a {h}px slice leaves "
-                    f"{h % self.fit_stride and 'a non-integer' or h // self.fit_stride}"
-                    f" working size; need H divisible by fit_stride and "
-                    f"H/fit_stride divisible by 32 (encoder depth)")
+            for dim, name in ((x.shape[1], "H"), (x.shape[2], "W")):
+                if dim % self.fit_stride or (dim // self.fit_stride) % 32:
+                    raise ValueError(
+                        f"fit_stride={self.fit_stride} does not fit "
+                        f"{name}={dim}: {name} must be divisible by "
+                        f"fit_stride and {name}/fit_stride divisible by 32 "
+                        f"(encoder depth)")
 
         if num_classes != self.num_classes or self.num_channels != x.shape[-1]:
             uploads = self.x_uploads

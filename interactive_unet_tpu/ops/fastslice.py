@@ -37,6 +37,14 @@ SEG = B + 1     # lanes per segment (B+1 for the +1 z neighbor)
 LANES = 128     # 4 segments * 31 = 124, padded to the TPU lane width
 
 
+def packed_nbytes(shape) -> int:
+    """Device bytes the packed table for a (D,H,W) volume will occupy
+    (~4.6x the uint8 volume) — for HBM-capacity guards before packing."""
+    D, H, W = (int(s) for s in shape[:3])
+    nzb = max(1, -(-(W - 1) // B))
+    return max(D - 1, 0) * max(H - 1, 0) * nzb * LANES
+
+
 def pack_volume(volume) -> jax.Array:
     """(D,H,W) -> packed uint8 table ((D-1)*(H-1)*NZB, 128).
 

@@ -167,7 +167,11 @@ class Slicer:
         coords = self.get_interpolation_coords(slice_width=slice_width)[axis]
 
         lower = np.floor(np.min(coords, axis=(1, 2))).astype(int)
-        upper = np.ceil(np.max(coords, axis=(1, 2))).astype(int)
+        # floor+1 rather than ceil: an exactly-axis-aligned plane at integer
+        # coordinates has max == floor(max), and ceil would make the bbox
+        # slab EMPTY (all-zero slice).  floor+1 == ceil for non-integer
+        # bounds and includes the voxel itself at integer bounds.
+        upper = np.floor(np.max(coords, axis=(1, 2))).astype(int) + 1
         i0, j0, k0 = lower
         i1, j1, k1 = upper
         i0, i1 = max(0, i0), min(volume.shape[0], i1)
@@ -185,7 +189,12 @@ class Slicer:
 
         shift = np.array([i0, j0, k0], dtype=float)
         block = volume[i0:i1, j0:j1, k0:k1]
-        return resample.map_coordinates_3d(block, coords - shift[:, None, None], order=order)
+        local = coords - shift[:, None, None]
+        if getattr(block, "ndim", 3) == 4:  # multi-channel volume -> (S,S,C)
+            return np.stack([resample.map_coordinates_3d(
+                np.asarray(block[..., c]), local, order=order)
+                for c in range(block.shape[-1])], axis=-1)
+        return resample.map_coordinates_3d(block, local, order=order)
 
     def update_volume(self, data, volume, axis: int = 0):
         """Nearest-voxel scatter of a 2-D slice back into a 3-D volume."""

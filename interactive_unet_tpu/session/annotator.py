@@ -20,6 +20,12 @@ class mask, overlay compositing, pan/zoom) with an original data model:
 
 Behavioral parity target: reference annotator.py:5-271 (capabilities, not
 structure).
+
+Parity caveat (intentional UX change): starting a new stroke clears the redo
+stack (``new_path`` -> ``undone.clear()``), the standard editor convention.
+The reference keeps ``deleted_annotations`` so redo still replays undone
+strokes after new paint lands on top of them (reference annotator.py:
+add_annotation/redo), which reorders history in surprising ways.
 """
 
 from __future__ import annotations

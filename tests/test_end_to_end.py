@@ -75,7 +75,10 @@ def trained(workspace):
 
 
 def test_train_predict_cycle(workspace, trained):
+    from interactive_unet_tpu.engine import checkpoint as ckpt_io
+
     result = trained
+    ckpt_io.wait_pending()  # the click returns before the background save
     assert (workspace / "model" / "model.ckpt").is_file()
     losses = [h["train"]["Loss"] for h in result["history"]]
     assert min(losses[-3:]) < losses[0]  # learning happened

@@ -72,4 +72,6 @@ def test_training_survives_sparse_annotations(tmp_path):
         assert np.isfinite(h["train"]["Loss"]), h
         assert np.isfinite(h["val"]["Loss"]), h
     assert np.isfinite(r["best_val_loss"])
+    from interactive_unet_tpu.engine import checkpoint as ckpt_io
+    ckpt_io.wait_pending()  # the click returns before the background save
     assert (tmp_path / "model" / "model.ckpt").is_file()

@@ -126,6 +126,12 @@ def test_http_wire(tiny_ws):
             r = await client.get("/history?metric=Loss")
             fig = await r.json()
             assert "data" in fig and "layout" in fig
+            # the suggestor working-resolution selector reaches the session
+            # (VERDICT r2 #9: the UI-exposed fit_stride option)
+            r = await client.post("/action", json={
+                "name": "set", "values": {"suggestor_fit_stride": 2}})
+            assert (await r.json())["status"]["suggestor_fit_stride"] == 2
+            assert app["state"].suggestor_fit_stride == 2
         finally:
             await client.close()
 
