@@ -1,0 +1,160 @@
+"""Phase-packed conv path (ops/packconv.py + models/layers.py integration):
+exact equivalence with the plain conv formulation, checkpoint compatibility
+across layouts, and gradient flow (VERDICT r2 #1 — the MXU conv stack)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from interactive_unet_tpu.models.layers import ConvNormAct
+from interactive_unet_tpu.ops import packconv as PC
+
+
+def _plain_conv(x, w, stride):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def test_space_depth_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    xp = PC.space_to_depth(x)
+    assert xp.shape == (2, 4, 4, 12)
+    np.testing.assert_array_equal(PC.depth_to_space(xp), x)
+    # channel-major: packed channel c*4 + 2*pi + pj
+    np.testing.assert_array_equal(xp[0, 0, 0, 4:8],
+                                  [x[0, 0, 0, 1], x[0, 0, 1, 1],
+                                   x[0, 1, 0, 1], x[0, 1, 1, 1]])
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_packed_conv_exact(rng, stride):
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
+    ref = PC.space_to_depth(_plain_conv(x, w, stride))
+    got = PC.packed_conv3x3(x, w, stride)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_packed_group_norm_matches_flax(rng):
+    from flax import linen as nn
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-6)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = PC.depth_to_space(
+        PC.packed_group_norm(PC.space_to_depth(x), 4, scale, bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,norm", [(1, "group"), (2, "group"),
+                                         (1, "none"), (2, "none")])
+def test_convnormact_layout_equivalence(rng, stride, norm, monkeypatch):
+    """Same params, same function: packed and plain paths interchange."""
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 5)), jnp.float32)
+    m = ConvNormAct(12, stride=stride, norm=norm, dtype=jnp.float32)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "1")
+    p = m.init(jax.random.key(0), x)
+    a = np.asarray(m.apply(p, x))
+    monkeypatch.setenv("IUNET_PACKED_CONV", "0")
+    b = np.asarray(m.apply(p, x))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_packed_init_params_match_plain(rng, monkeypatch):
+    """Param trees are identical across layouts (checkpoint compatibility:
+    a round-2 checkpoint loads into the packed model and vice versa)."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+    m = ConvNormAct(8, dtype=jnp.float32)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "1")
+    p_packed = m.init(jax.random.key(0), x)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "0")
+    p_plain = m.init(jax.random.key(0), x)
+    s_packed = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), p_packed)
+    s_plain = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), p_plain)
+    assert s_packed == s_plain
+
+
+def test_odd_shapes_fall_back(rng):
+    """Odd spatial dims use the plain path with the same params."""
+    x_even = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+    x_odd = jnp.asarray(rng.normal(size=(1, 15, 15, 3)), jnp.float32)
+    m = ConvNormAct(8, dtype=jnp.float32)
+    p = m.init(jax.random.key(0), x_even)
+    out = m.apply(p, x_odd)
+    assert out.shape == (1, 15, 15, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gradients_flow_and_match(rng, monkeypatch):
+    """d(loss)/d(kernel) identical across layouts — the packed conv trains
+    the same model."""
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 3)), jnp.float32)
+    m = ConvNormAct(8, dtype=jnp.float32)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "1")
+    p = m.init(jax.random.key(0), x)
+
+    def loss(p):
+        return jnp.sum(jnp.square(m.apply(p, x)))
+
+    g_packed = jax.grad(loss)(p)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "0")
+    g_plain = jax.grad(loss)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_packed),
+                    jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3, rtol=1e-3)
+
+
+def test_pallas_kernel_matches_xla(rng):
+    """The fused Pallas im2col kernel (interpret mode on CPU) computes the
+    identical packed conv, incl. the fused bias+relu epilogue."""
+    from interactive_unet_tpu.ops.pallas_conv import pallas_packed_conv3x3
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
+    ref = PC.packed_conv3x3(x, w, 1)
+    got = pallas_packed_conv3x3(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    ref2 = jnp.maximum(ref + PC.repeat_channels(b), 0)
+    got2 = pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-4)
+
+
+def test_pallas_path_in_convnormact(rng, monkeypatch):
+    """IUNET_PALLAS_CONV=1 routes ConvNormAct through the Pallas kernel with
+    working gradients (custom_vjp -> XLA backward)."""
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    m = ConvNormAct(8, dtype=jnp.float32)
+    monkeypatch.setenv("IUNET_PALLAS_CONV", "1")
+    p = m.init(jax.random.key(0), x)
+    a = np.asarray(m.apply(p, x))
+    g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(p)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
+    monkeypatch.setenv("IUNET_PALLAS_CONV", "0")
+    b = np.asarray(m.apply(p, x))
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_full_model_layout_equivalence(rng, monkeypatch):
+    """The flagship U-Net computes the same function in both layouts."""
+    from interactive_unet_tpu.models import build_model
+
+    x = jnp.asarray(rng.random((1, 64, 64, 1)), jnp.float32)
+    model = build_model(architecture="U-Net", encoder_name="cnn_s",
+                        num_classes=2, dtype=jnp.float32)
+    monkeypatch.setenv("IUNET_PACKED_CONV", "1")
+    p = model.init(jax.random.key(0), x)
+    a = np.asarray(model.apply(p, x))
+    monkeypatch.setenv("IUNET_PACKED_CONV", "0")
+    b = np.asarray(model.apply(p, x))
+    assert a.shape == b.shape == (1, 64, 64, 2)
+    np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)
