@@ -146,6 +146,133 @@ class EfficientNetLiteEncoder(nn.Module):
         return feats
 
 
+# -- torch-layout mirror encoders (pretrained import targets) ----------------
+# These mirror torchvision resnet18/34 and timm tf_efficientnet_lite0-2
+# block-for-block in folded-BN form (norm="none"), so every conv has a unique
+# NAME-mapped destination for ImageNet weight import (utils/torch_import.py;
+# reference unet.py:28-31 gives every encoder pretrained weights).  They are
+# selected by build_encoder when pretrained=True.
+
+
+class TorchResNetEncoder(nn.Module):
+    """torchvision resnet18/34 ``features`` geometry: 7x7/2 stem + maxpool,
+    BasicBlocks with 1x1 downsample shortcuts; folded-BN (biased convs) when
+    norm="none".  Pyramid at strides (2, 4, 8, 16, 32)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)     # resnet18; (3,4,6,3) = resnet34
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        x = ConvNormAct(64, kernel=7, stride=2, dtype=self.dtype,
+                        norm=self.norm)(x)                    # conv1+bn1+relu
+        feats.append(x)                                       # stride 2
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        for stage, (blocks, width) in enumerate(
+                zip(self.layers, (64, 128, 256, 512))):
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = TorchBasicBlock(width, stride=stride, dtype=self.dtype,
+                                    norm=self.norm)(x)
+            feats.append(x)                   # strides 4, 8, 16, 32
+        return feats
+
+
+class TorchBasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        h = ConvNormAct(self.features, stride=self.stride, dtype=self.dtype,
+                        norm=self.norm)(x)                    # conv1+bn1+relu
+        h = ConvNormAct(self.features, act=False, dtype=self.dtype,
+                        norm=self.norm)(h)                    # conv2+bn2
+        if self.stride != 1 or c_in != self.features:
+            # downsample: 1x1 conv + bn (folded -> biased conv)
+            x = nn.Conv(self.features, (1, 1),
+                        strides=(self.stride, self.stride),
+                        use_bias=(self.norm == "none"),
+                        dtype=self.dtype)(x)
+            if self.norm == "group":
+                from .layers import _num_groups as _ng
+                x = nn.GroupNorm(num_groups=_ng(self.features),
+                                 dtype=self.dtype)(x)
+        return nn.relu(h + x)
+
+
+# timm tf_efficientnet_lite generation rules (timm efficientnet.py
+# _gen_efficientnet_lite): base repeats/channels below; depth multiplier
+# scales repeats with ceil EXCEPT the first and last stage (fix_first_last),
+# width multiplier rounds channels to multiples of 8 (round_channels), and
+# the stem is fixed at 32 (fix_stem).  lite0 = (1.0, 1.0), lite1 =
+# (1.0, 1.1), lite2 = (1.1, 1.2) (width, depth).
+_EFFLITE_REPEATS = (1, 2, 2, 3, 3, 4, 1)
+_EFFLITE_CHANNELS = (16, 24, 40, 80, 112, 192, 320)
+_EFFLITE_STRIDES = (1, 2, 2, 2, 1, 2, 1)
+_EFFLITE_MULT = {"efficientnet_lite0": (1.0, 1.0),
+                 "efficientnet_lite1": (1.0, 1.1),
+                 "efficientnet_lite2": (1.1, 1.2)}
+
+
+def _round_channels(c: float, mult: float, divisor: int = 8) -> int:
+    if mult == 1.0:
+        return int(c)
+    c *= mult
+    new_c = max(divisor, int(c + divisor / 2) // divisor * divisor)
+    if new_c < 0.9 * c:
+        new_c += divisor
+    return new_c
+
+
+def _efflite_arch(name: str):
+    """-> (repeats, channels) per stage for a tf_efficientnet_lite variant."""
+    width, depth = _EFFLITE_MULT[name]
+    import math
+
+    reps = []
+    for i, r in enumerate(_EFFLITE_REPEATS):
+        if i in (0, len(_EFFLITE_REPEATS) - 1):  # fix_first_last
+            reps.append(r)
+        else:
+            reps.append(int(math.ceil(r * depth)))
+    chans = [_round_channels(c, width) for c in _EFFLITE_CHANNELS]
+    return tuple(reps), tuple(chans)
+
+
+class TimmEfficientNetLiteEncoder(nn.Module):
+    """timm ``tf_efficientnet_lite{0,1,2}`` geometry in folded-BN form:
+    conv_stem(32)/2 + blocks.0 (depthwise-separable, no expansion) +
+    blocks.1-6 (expand-6 inverted residuals, ReLU6, no SE).  Pyramid at
+    strides (2, 4, 8, 16, 32) = after blocks 0, 1, 2, 4, 6."""
+
+    variant: str = "efficientnet_lite0"
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        reps, chans = _efflite_arch(self.variant)
+        feats = []
+        x = ConvNormAct(32, stride=2, dtype=self.dtype, norm=self.norm,
+                        act_name="relu6")(x)                  # conv_stem+bn1
+        for stage, (r, c, s) in enumerate(zip(reps, chans, _EFFLITE_STRIDES)):
+            for b in range(r):
+                stride = s if b == 0 else 1
+                expand = 1 if stage == 0 else 6
+                x = InvertedResidual(c, stride=stride, expand=expand,
+                                     dtype=self.dtype, norm=self.norm)(x)
+            if stage in (0, 1, 2, 4, 6):
+                feats.append(x)               # strides 2, 4, 8, 16, 32
+        return feats
+
+
 # Selectable encoder family.  The reference exposes smp's ~700 encoder names
 # (app.py:182); SURVEY §7.6 scopes parity to the CAPABILITY — a selectable
 # architecture/encoder size ladder — implemented as this native family

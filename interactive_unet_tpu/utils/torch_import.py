@@ -111,7 +111,89 @@ def adapt_input_channels(kernel: np.ndarray, num_channels: int) -> np.ndarray:
     return k * (c_in / num_channels)
 
 
-_IMPORTERS = {"mobilenet_v2": mobilenet_v2_to_flax}
+def resnet_to_flax(state_dict: dict, layers=(2, 2, 2, 2)) -> dict:
+    """torchvision ``resnet18``/``resnet34`` state_dict -> nested flax param
+    dict for ``TorchResNetEncoder(norm="none")`` (models/encoders.py).
+    The fc head is ignored; BN folds into biased convs."""
+    sd = state_dict
+    out = {"ConvNormAct_0": {"Conv_0": _folded(sd, "conv1", "bn1")}}
+    block = 0
+    for stage, n in enumerate(layers):
+        for b in range(n):
+            pre = f"layer{stage + 1}.{b}"
+            scope = {
+                "ConvNormAct_0": {"Conv_0": _folded(sd, f"{pre}.conv1",
+                                                    f"{pre}.bn1")},
+                "ConvNormAct_1": {"Conv_0": _folded(sd, f"{pre}.conv2",
+                                                    f"{pre}.bn2")},
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                scope["Conv_0"] = _folded(sd, f"{pre}.downsample.0",
+                                          f"{pre}.downsample.1")
+            out[f"TorchBasicBlock_{block}"] = scope
+            block += 1
+    return out
+
+
+def efficientnet_lite_to_flax(state_dict: dict,
+                              variant: str = "efficientnet_lite0") -> dict:
+    """timm ``efficientnet_lite{0,1,2}`` state_dict -> nested flax params
+    for ``TimmEfficientNetLiteEncoder(norm="none")``.
+
+    Key layout is timm's EfficientNet: conv_stem/bn1, blocks.0.* depthwise-
+    separable (conv_dw/bn1, conv_pw/bn2), blocks.1-6.* inverted residual
+    (conv_pw/bn1, conv_dw/bn2, conv_pwl/bn3); conv_head and the classifier
+    are ignored (the pyramid stops at the 320 stage, smp depth-5 cut).
+    Padding caveat: timm's ``tf_`` prefixed variants use TF-SAME
+    (asymmetric) padding on stride-2 convs; this encoder uses standard
+    symmetric torch padding, i.e. the ``efficientnet_lite*`` (non-tf)
+    variants' exact function."""
+    from ..models.encoders import _efflite_arch
+
+    sd = state_dict
+    reps, _ = _efflite_arch(variant)
+    out = {"ConvNormAct_0": {"Conv_0": _folded(sd, "conv_stem", "bn1")}}
+    block = 0
+    for stage, r in enumerate(reps):
+        for b in range(r):
+            pre = f"blocks.{stage}.{b}"
+            if stage == 0:  # DepthwiseSeparableConv: dw then pw
+                scope = {
+                    "ConvNormAct_0": {"Conv_0": _folded(
+                        sd, f"{pre}.conv_dw", f"{pre}.bn1")},
+                    "ConvNormAct_1": {"Conv_0": _folded(
+                        sd, f"{pre}.conv_pw", f"{pre}.bn2")},
+                }
+            else:           # InvertedResidual: expand, dw, project
+                scope = {
+                    "ConvNormAct_0": {"Conv_0": _folded(
+                        sd, f"{pre}.conv_pw", f"{pre}.bn1")},
+                    "ConvNormAct_1": {"Conv_0": _folded(
+                        sd, f"{pre}.conv_dw", f"{pre}.bn2")},
+                    "ConvNormAct_2": {"Conv_0": _folded(
+                        sd, f"{pre}.conv_pwl", f"{pre}.bn3")},
+                }
+            out[f"InvertedResidual_{block}"] = scope
+            block += 1
+    return out
+
+
+import functools as _functools
+
+_IMPORTERS = {
+    "mobilenet_v2": mobilenet_v2_to_flax,
+    "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
+    "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
+    "resnet34": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3)),
+    "efficientnet_lite0": _functools.partial(
+        efficientnet_lite_to_flax, variant="efficientnet_lite0"),
+    "timm-tf_efficientnet_lite0": _functools.partial(
+        efficientnet_lite_to_flax, variant="efficientnet_lite0"),
+    "efficientnet_lite1": _functools.partial(
+        efficientnet_lite_to_flax, variant="efficientnet_lite1"),
+    "efficientnet_lite2": _functools.partial(
+        efficientnet_lite_to_flax, variant="efficientnet_lite2"),
+}
 
 
 def default_search_dirs():
