@@ -136,13 +136,26 @@ def _train_worker_loop():
     reply({"ready": True})
     # warm the fused train program for the saved config in the background:
     # the first real click then skips trace+compile AND the tunnel's
-    # first-dispatch program load (VERDICT r2 weak #4 / item #3)
-    threading.Thread(target=warm_train_program, daemon=True).start()
+    # first-dispatch program load (VERDICT r2 weak #4 / item #3).  A short
+    # grace period + busy check: if a click is already in flight (or lands
+    # immediately), warming the same program concurrently would just split
+    # the compile across two threads.
+    busy = threading.Event()
+
+    def _warm():
+        import time as _time
+
+        _time.sleep(1.0)
+        if not busy.is_set():
+            warm_train_program()
+
+    threading.Thread(target=_warm, daemon=True).start()
     for line in _sys.stdin:
         line = line.strip()
         if not line:
             continue
         try:
+            busy.set()
             result = train_model(**json.loads(line))
             # the checkpoint write runs in the background; join before
             # replying so the app process (predict path) reads the NEW

@@ -355,7 +355,13 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
         # the NEXT zarr block while the device predicts the current one
         # (SURVEY §2.1: shard-aligned async prefetch)
         def fetch(idx):
-            return blending.get_padded_block(volume, *padded_coords[idx])
+            """Read + reflect-pad the block AND start its host->device
+            upload from the prefetch thread (jax.device_put is async), so
+            the next block's transfer rides the wire while the device
+            computes the current block (VERDICT r2 #6: the upload used to
+            serialize with compute on the consume side)."""
+            pb = blending.get_padded_block(volume, *padded_coords[idx])
+            return jax.device_put(jnp.asarray(pb, jnp.uint8))
 
         def run_blocks(consume):
             """Prefetch-pipelined block loop shared by both accumulator
@@ -385,8 +391,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                 nonlocal acc, wacc
                 with timer.span("device_accumulate"):
                     s0, s1, s2 = (padded_coords[idx, :3] + pad_off).tolist()
-                    acc, wacc = step(acc, wacc,
-                                     jnp.asarray(pb, jnp.uint8),
+                    acc, wacc = step(acc, wacc, pb,
                                      jnp.int32(s0), jnp.int32(s1),
                                      jnp.int32(s2))
 

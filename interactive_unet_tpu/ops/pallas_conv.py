@@ -131,7 +131,7 @@ def pallas_packed_conv3x3(x: jax.Array, w3: jax.Array,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # x: DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),               # x: DMA'd manually
             pl.BlockSpec(memory_space=pltpu.VMEM),           # wmat
             pl.BlockSpec(memory_space=pltpu.VMEM),           # bias
         ],
