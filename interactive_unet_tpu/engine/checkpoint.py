@@ -45,11 +45,13 @@ def wait_pending(path: str | Path | None = None) -> None:
         t.join()
 
 
-def save_checkpoint_async(path: str | Path, params,
-                          config: TrainConfig) -> threading.Thread:
+def save_checkpoint_async(path: str | Path, params, config: TrainConfig,
+                          stat_out: dict | None = None) -> threading.Thread:
     """Start ``save_checkpoint`` (device->host transfer included) in a
     background thread.  ``params`` may live on device; jax.device_get runs in
-    the thread."""
+    the thread.  When ``stat_out`` is given, the written file's
+    (st_mtime_ns, st_size) is recorded under ``stat_out["stat"]`` after the
+    atomic rename — callers use it to detect external overwrites."""
     path = Path(path)
     key = str(path.resolve())
     wait_pending(path)  # serialize saves to the same file
@@ -59,6 +61,9 @@ def save_checkpoint_async(path: str | Path, params,
             import jax
 
             save_checkpoint(path, jax.device_get(params), config)
+            if stat_out is not None:
+                st = path.stat()
+                stat_out["stat"] = (st.st_mtime_ns, st.st_size)
         finally:
             with _PENDING_LOCK:
                 if _PENDING.get(key) is t:

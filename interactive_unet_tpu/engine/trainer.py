@@ -122,6 +122,31 @@ def _fused_program(cfg: TrainConfig, cap_tr: int, cap_va: int,
     return _PROGRAM_CACHE[key]
 
 
+# Device-resident resume cache: the last run's best params + config, still
+# on device.  A resume click in the same process then skips the WHOLE
+# checkpoint round-trip — waiting for the 31 MB d2h, the file write, the
+# file read, AND the 31 MB h2d re-upload — and starts from an on-device
+# copy.  The file stays the cross-process contract (the background save
+# still writes it; predict in the app process reads it).  The cache is
+# valid while our own background write is in flight (nobody can have
+# written a newer file we should prefer) or while the file's stat still
+# matches what our write produced; any external overwrite invalidates it.
+_RESUME_CACHE: dict = {}
+
+
+def _resume_cache_valid(entry, model_path: Path) -> bool:
+    if entry["thread"].is_alive():
+        return True
+    stat = entry["stat_out"].get("stat")
+    if stat is None:  # write failed
+        return False
+    try:
+        st = model_path.stat()
+    except OSError:
+        return False
+    return (st.st_mtime_ns, st.st_size) == stat
+
+
 # Device dataset buffers cached per (file fingerprint, classes, batch, mesh):
 # a retrain click without new samples skips TIFF decode, stacking, and the
 # ~20-40 MB host->device upload entirely.  (The fused fn never donates the
@@ -186,9 +211,6 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                 reslice=False, reslice_factor=2):
     """One-shot (re)training run. Returns the history dict of the run."""
     root = Path(root)
-    # a previous click's background checkpoint save must land before the
-    # resume check below reads (or misses) the file
-    ckpt_io.wait_pending()
 
     cfg = TrainConfig(lr=lr, batch_size=batch_size, epochs=epochs,
                       num_channels=num_channels, num_classes=num_classes,
@@ -196,11 +218,25 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
                       architecture=architecture, encoder_name=encoder_name,
                       pretrained=pretrained)
 
-    # resume from checkpoint if present (architecture comes from the ckpt)
+    # resume from checkpoint if present (architecture comes from the ckpt).
+    # Fast path: the last run's best params are still on device in this
+    # process (_RESUME_CACHE) — no file wait, no d2h/h2d round-trip.
     model_path = root / "model" / "model.ckpt"
-    resume = model_path.is_file()
+    cache = _RESUME_CACHE.get(str(model_path.resolve()))
+    resume_params = None
+    state_dict = None
+    if cache is not None and _resume_cache_valid(cache, model_path):
+        resume = True
+        resume_params = cache["params"]
+        old_cfg = cache["cfg"]
+    else:
+        # a previous click's background save must land before the resume
+        # check reads (or misses) the file
+        ckpt_io.wait_pending()
+        resume = model_path.is_file()
+        if resume:
+            state_dict, old_cfg = ckpt_io.load_checkpoint(model_path)
     if resume:
-        state_dict, old_cfg = ckpt_io.load_checkpoint(model_path)
         cfg.architecture = old_cfg.architecture
         cfg.encoder_name = old_cfg.encoder_name
         cfg.num_classes = old_cfg.num_classes
@@ -257,7 +293,11 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     # the loop below (bounded set, cached like any other signature)
 
     key = jax.random.key(seed)
-    if resume:
+    if resume and resume_params is not None:
+        # device-resident resume: a device-side copy of the cached best
+        # params (the cache itself must never be donated to epoch_fn)
+        params = jax.tree_util.tree_map(jnp.copy, resume_params)
+    elif resume:
         # no device init compute on a resume click: restore onto a shape
         # template (eval_shape runs no FLOPs) — the checkpoint provides
         # every value
@@ -336,8 +376,14 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
 
     # persist the best-val-loss params (ModelCheckpoint semantics) in the
     # background: the 31 MB d2h + write are off the click's critical path;
-    # the next resume/predict joins the thread before reading (checkpoint.py)
-    ckpt_io.save_checkpoint_async(model_path, best_params, cfg)
+    # cross-process readers join the thread before reading (checkpoint.py),
+    # while same-process resume clicks take the device-resident cache below
+    # and never touch the file at all
+    stat_out: dict = {}
+    t = ckpt_io.save_checkpoint_async(model_path, best_params, cfg, stat_out)
+    _RESUME_CACHE.clear()
+    _RESUME_CACHE[str(model_path.resolve())] = {
+        "params": best_params, "cfg": cfg, "thread": t, "stat_out": stat_out}
     return {"history": history, "best_val_loss": float(best_val),
             "config": cfg}
 

@@ -61,6 +61,65 @@ def test_bad_magic_rejected(tmp_path):
         ck.load_checkpoint(p)
 
 
+def _make_samples(root, n=2, size=32):
+    """Tiny annotated workspace for train_model tests."""
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.ops import colors as C
+    from interactive_unet_tpu.ops.slicer import Slicer
+
+    samples.create_directories(root)
+    rng = np.random.default_rng(0)
+    vol = (rng.random((40, 40, 40)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, root / "data" / "image_volumes" / "v.zarr",
+        chunk_size=16, shard_size=32)
+    sl = Slicer(vol.shape, seed=1)
+    for _ in range(n):
+        sl.randomize()
+        img = sl.get_slice(vol, slice_width=size, order=1).astype(np.uint8)
+        mask = np.zeros((size, size, 3), np.uint8)
+        mask[img > 128] = C.COLORS[2]
+        mask[img <= 128] = C.COLORS[1]
+        samples.save_sample(img, mask, {"volume": "v",
+                                        "slicer": sl.to_dict()}, 2,
+                            root=root)
+
+
+def test_device_resident_resume_cache(tmp_path):
+    """A same-process resume click takes the on-device cache (no file
+    round-trip) and still honors external checkpoint overwrites."""
+    from interactive_unet_tpu.engine import checkpoint as ckpt_io
+    from interactive_unet_tpu.engine import trainer
+
+    _make_samples(tmp_path)
+    kwargs = dict(batch_size=1, epochs=2, num_classes=2,
+                  encoder_name="cnn_s", root=tmp_path, seed=0)
+    trainer.train_model(**kwargs)
+    path = (tmp_path / "model" / "model.ckpt").resolve()
+    entry = trainer._RESUME_CACHE[str(path)]
+    assert entry["params"] is not None
+
+    # second click: resumes from the cache; history continues finite
+    out2 = trainer.train_model(**kwargs)
+    assert np.isfinite(out2["best_val_loss"])
+
+    # external overwrite invalidates the cache (stat mismatch)
+    ckpt_io.wait_pending()
+    entry = trainer._RESUME_CACHE[str(path)]
+    import os
+    import time
+
+    time.sleep(0.01)
+    os.utime(path)  # simulate an external writer touching the file
+    assert not trainer._resume_cache_valid(entry, path)
+    # and a deleted checkpoint invalidates it too
+    ckpt_io.wait_pending()
+    path.unlink()
+    assert not trainer._resume_cache_valid(entry, path)
+    trainer._RESUME_CACHE.clear()
+
+
 def test_resume_survives_pretrained_toggle(tmp_path):
     """Toggling the pretrained checkbox between clicks must not break resume:
     the checkpoint's param tree governs the model structure (mobilenet_v2
