@@ -30,19 +30,35 @@ MAGIC = b"IUTPU1\n"
 # can never observe a partial file.
 _PENDING: dict[str, threading.Thread] = {}
 _PENDING_LOCK = threading.Lock()
+_FAILED: dict[str, BaseException] = {}
 
 
 def wait_pending(path: str | Path | None = None) -> None:
-    """Join the in-flight background save for ``path`` (all paths if None)."""
+    """Join the in-flight background save for ``path`` (all paths if None).
+
+    Re-raises the save thread's exception: the synchronous save used to
+    propagate disk-full/permission errors to the caller (the train worker
+    reports ok=False), and the async form must not swallow them — the old
+    checkpoint was already unlinked, so a silently-failed save would leave
+    the workspace with no model while reporting success."""
     if path is None:
         with _PENDING_LOCK:
             threads = list(_PENDING.values())
+        keys = None
     else:
+        key = str(Path(path).resolve())
         with _PENDING_LOCK:
-            t = _PENDING.get(str(Path(path).resolve()))
+            t = _PENDING.get(key)
         threads = [t] if t is not None else []
+        keys = [key]
     for t in threads:
         t.join()
+    with _PENDING_LOCK:
+        for k in (keys if keys is not None else list(_FAILED)):
+            err = _FAILED.pop(k, None)
+            if err is not None:
+                raise RuntimeError(
+                    f"background checkpoint save failed for {k}") from err
 
 
 def save_checkpoint_async(path: str | Path, params, config: TrainConfig,
@@ -64,6 +80,9 @@ def save_checkpoint_async(path: str | Path, params, config: TrainConfig,
             if stat_out is not None:
                 st = path.stat()
                 stat_out["stat"] = (st.st_mtime_ns, st.st_size)
+        except BaseException as e:  # surfaced by the next wait_pending
+            with _PENDING_LOCK:
+                _FAILED[key] = e
         finally:
             with _PENDING_LOCK:
                 if _PENDING.get(key) is t:
@@ -74,6 +93,13 @@ def save_checkpoint_async(path: str | Path, params, config: TrainConfig,
         _PENDING[key] = t
     t.start()
     return t
+
+
+# API callers that exit right after train_model() must not lose the write
+# to daemon-thread teardown; interpreter shutdown joins pending saves.
+import atexit  # noqa: E402
+
+atexit.register(lambda: wait_pending() if _PENDING else None)
 
 
 def save_checkpoint(path: str | Path, params, config: TrainConfig):

@@ -78,7 +78,9 @@ def load_resliced_annotations(set_type: str = "train", count: int = 100,
             imgs, masks, weights, _ = vd.sample_batch(
                 k_bucket, weight_channel=weight_channel,
                 slice_width=slice_width)
-            for i in range(per_vol):
+            # examine every gathered slice, not just per_vol: the bucketed
+            # oversampling is paid for, so let it absorb rejects
+            for i in range(k_bucket):
                 # rejection: the slice must intersect annotated voxels
                 if weights[i].max() == 255 and masks[i].max() > 0:
                     annotations.append(_finish_reslice(

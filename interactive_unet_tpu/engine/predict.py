@@ -489,6 +489,11 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     bs_try = new_bs
                 elif use_device:
                     use_device = False
+                    # the host path freed the multi-GB device accumulators,
+                    # so restart the ladder from the full batch estimate
+                    bs_try = batch_size or _auto_batch_size(
+                        input_size, num_channels=num_channels,
+                        width=_encoder_width(model))
                     print("predict_volumes: device accumulator does not fit "
                           "HBM; falling back to the host accumulator")
                 else:

@@ -50,11 +50,16 @@ def rank_slices(model, params, volume, num_candidates: int = 16,
     Multi-channel (4-D) volumes and sessions whose packed table exceeded the
     HBM budget (packed=None after resident()) extract candidates host-side.
     """
+    import os
+
+    from ..ops.fastslice import packed_nbytes
+
     volume_shape = (volume.shape if packed is None else packed.shape)[:3]
     slicer = Slicer(volume_shape, seed=seed)
     pv = packed
+    budget = int(os.environ.get("IUNET_HBM_PACK_BUDGET", 6 * 1024 ** 3))
     if pv is None and getattr(volume, "ndim", 3) == 3 \
-            and np.prod(volume_shape) < (1 << 28):  # small: pack ad hoc
+            and packed_nbytes(volume_shape) <= budget:  # pack ad hoc
         pv = PackedVolume(np.asarray(volume[:, :, :]))
 
     frames = []
@@ -86,10 +91,12 @@ def rank_slices_for_workspace(root=".", num_candidates: int = 16,
     from ..session.volumedata import load_dataset
 
     slice_width = slice_width or get_input_size(root)
-    model, params, _ = _load_model(root, 1, get_num_classes(root))
+    num_classes = get_num_classes(root)
     out = {}
     for vd in load_dataset(root=root):
         vd.resident()
+        # channel count follows each volume (multi-channel workspaces)
+        model, params, _ = _load_model(root, vd.num_channels, num_classes)
         out[vd.filename] = rank_slices(
             model, params, vd.image_volume,
             num_candidates=num_candidates, slice_width=slice_width,

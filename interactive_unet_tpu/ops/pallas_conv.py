@@ -42,11 +42,23 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _pick_row_tile(h2: int, w: int, cin: int, budget_bytes=4 << 20) -> int:
-    """Row-tile height TH (in packed rows) so the halo'd input tile
-    (2*TH+2, W+2, Cin) bf16 fits comfortably in VMEM."""
-    row_bytes = (w + 2) * cin * 2
-    th = max(1, budget_bytes // (2 * row_bytes))
+def _pick_row_tile(h2: int, w: int, cin: int, cout: int,
+                   budget_bytes=10 << 20) -> int:
+    """Row-tile height TH (in packed rows) sized against EVERYTHING the
+    kernel materializes in VMEM per tile, not just the halo'd input:
+      input tile   2 rows/TH * (W+2) * Cin        (itemsize 2)
+      im2col A     W/2 * 16*Cin                   (2)
+      f32 matmul   W/2 * 4*Cout                   (4)
+      out block    W/2 * 4*Cout                   (2)
+    all per packed row, plus the (16*Cin, 4*Cout) weight matrix once."""
+    w2 = w // 2
+    per_row = (2 * (w + 2) * cin * 2        # input halo rows
+               + w2 * 16 * cin * 2          # im2col A
+               + w2 * 4 * cout * 4          # f32 dot output
+               + w2 * 4 * cout * 2)         # cast out block
+    fixed = 16 * cin * 4 * cout * 2
+    th = max(1, (budget_bytes - fixed) // per_row)
+    th = min(th, h2)
     while h2 % th:
         th -= 1
     return th
@@ -114,7 +126,7 @@ def pallas_packed_conv3x3(x: jax.Array, w3: jax.Array,
     cout = w3.shape[3]
     assert h % 2 == 0 and w % 2 == 0, (h, w)
     h2, w2 = h // 2, w // 2
-    th = _pick_row_tile(h2, w, cin)
+    th = _pick_row_tile(h2, w, cin, cout)
 
     # host-side prep: zero halo pad + im2col weight layout (both fold into
     # the surrounding jit; the weight reshape traces once per shape)

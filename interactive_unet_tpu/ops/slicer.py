@@ -167,25 +167,22 @@ class Slicer:
         coords = self.get_interpolation_coords(slice_width=slice_width)[axis]
 
         lower = np.floor(np.min(coords, axis=(1, 2))).astype(int)
-        # floor+1 rather than ceil: an exactly-axis-aligned plane at integer
-        # coordinates has max == floor(max), and ceil would make the bbox
-        # slab EMPTY (all-zero slice).  floor+1 == ceil for non-integer
-        # bounds and includes the voxel itself at integer bounds.
-        upper = np.floor(np.max(coords, axis=(1, 2))).astype(int) + 1
+        # Exclusive upper bound floor(max)+2: trilinear interpolation at a
+        # coordinate c reads voxels floor(c) AND floor(c)+1, so the slab
+        # must include index floor(max)+1.  The reference uses ceil(max)
+        # (slicer.py:205) — which drops that neighbor voxel (cval=0 bleed at
+        # the bbox edge) and makes exactly-axis-aligned planes a DEGENERATE
+        # slab, patched there by a per-axis +1 hack (slicer.py:216-221).
+        # floor+2 subsumes both cases.
+        upper = np.floor(np.max(coords, axis=(1, 2))).astype(int) + 2
         i0, j0, k0 = lower
         i1, j1, k1 = upper
         i0, i1 = max(0, i0), min(volume.shape[0], i1)
         j0, j1 = max(0, j0), min(volume.shape[1], j1)
         k0, k1 = max(0, k0), min(volume.shape[2], k1)
-
-        # Grid-mode fix so an exactly-axis-aligned plane isn't empty
-        # (reference slicer.py:216-221).
-        if self.sampling_axis == "x":
-            i1 += 1
-        elif self.sampling_axis == "y":
-            j1 += 1
-        elif self.sampling_axis == "z":
-            k1 += 1
+        # (the reference's grid-mode +1 special case, slicer.py:216-221, is
+        # subsumed by the floor+1 upper bound above: an exactly-axis-aligned
+        # integer-coordinate plane already includes its voxel slab)
 
         shift = np.array([i0, j0, k0], dtype=float)
         block = volume[i0:i1, j0:j1, k0:k1]

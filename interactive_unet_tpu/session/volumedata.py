@@ -62,13 +62,15 @@ class VolumeData:
         (~4.6x the volume bytes) would exceed IUNET_HBM_PACK_BUDGET (default
         6 GB) keep the host bbox path — every get_slice caller already
         handles ``_flat_dev is None``."""
-        if self._flat_dev is None and self.num_channels == 1:
+        if (self._flat_dev is None and self.num_channels == 1
+                and not getattr(self, "_pack_denied", False)):
             from ..ops.fastslice import PackedVolume, packed_nbytes
 
             budget = int(os.environ.get("IUNET_HBM_PACK_BUDGET",
                                         6 * 1024 ** 3))
             need = packed_nbytes(self.image_volume.shape)
             if need > budget:
+                self._pack_denied = True  # decide (and warn) once
                 print(f"volume {self.filename}: packed table would be "
                       f"{need / 1e9:.1f} GB > budget {budget / 1e9:.1f} GB; "
                       f"keeping the host slicing path")
@@ -159,7 +161,7 @@ class VolumeData:
         from PIL import Image
 
         saved_state = self.slicer.to_dict()
-        shape = self.image_volume.shape
+        shape = self.image_volume.shape[:3]  # spatial only (4-D volumes)
         mask_volume = np.zeros(shape, dtype="uint8")
         weight_volume = np.zeros((*shape, 2), dtype="uint8")
 

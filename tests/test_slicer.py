@@ -40,21 +40,13 @@ def test_get_slice_matches_scipy(rng, order, mode):
         s.randomize(sampling_mode=mode)
         got = s.get_slice(vol, axis=0, slice_width=32, order=order)
 
-        # independent scipy computation replicating the bbox path
+        # ground truth: scipy on the FULL volume (no bbox).  The bbox path
+        # must match it voxel-for-voxel: its floor(max)+2 upper bound keeps
+        # every interpolation neighbor inside the slab (the reference's
+        # ceil-based bbox, slicer.py:205, drops the edge neighbor and
+        # bleeds cval=0 into boundary samples — fixed here, round 3).
         coords = s.get_interpolation_coords(slice_width=32)[0]
-        lower = np.floor(np.min(coords, axis=(1, 2))).astype(int)
-        upper = np.ceil(np.max(coords, axis=(1, 2))).astype(int)
-        i0, j0, k0 = np.maximum(lower, 0)
-        i1, j1, k1 = np.minimum(upper, vol.shape)
-        if s.sampling_axis == "x":
-            i1 += 1
-        elif s.sampling_axis == "y":
-            j1 += 1
-        elif s.sampling_axis == "z":
-            k1 += 1
-        shift = np.array([i0, j0, k0], dtype=float)
-        expected = ndimage.map_coordinates(
-            vol[i0:i1, j0:j1, k0:k1], coords - shift[:, None, None], order=order)
+        expected = ndimage.map_coordinates(vol, coords, order=order)
         np.testing.assert_allclose(got, expected, atol=1e-3)
 
 
