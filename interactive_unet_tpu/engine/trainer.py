@@ -365,8 +365,15 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
             progress(cfg.epochs - remaining - 1, cfg.epochs,
                      dict(zip(names, map(float, row[:4]))),
                      dict(zip(names, map(float, row[4:]))))
-    all_rows = (np.concatenate([np.asarray(l) for l in epoch_logs], axis=0)
-                if epoch_logs else np.zeros((0, 8), np.float32))[:cfg.epochs]
+    # ONE device->host transfer for the whole run's metric table + best
+    # val loss (each np.asarray is a full tunnel round-trip otherwise)
+    if epoch_logs:
+        logs_cat, best_val_host = jax.device_get(
+            (jnp.concatenate(epoch_logs, axis=0), best_val))
+    else:
+        logs_cat, best_val_host = np.zeros((0, 8), np.float32), \
+            jax.device_get(best_val)
+    all_rows = np.asarray(logs_cat)[:cfg.epochs]
     for epoch, row in enumerate(all_rows):
         train_row = dict(zip(names, map(float, row[:4])))
         val_row = dict(zip(names, map(float, row[4:])))
@@ -384,7 +391,7 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     _RESUME_CACHE.clear()
     _RESUME_CACHE[str(model_path.resolve())] = {
         "params": best_params, "cfg": cfg, "thread": t, "stat_out": stat_out}
-    return {"history": history, "best_val_loss": float(best_val),
+    return {"history": history, "best_val_loss": float(best_val_host),
             "config": cfg}
 
 
