@@ -373,9 +373,10 @@ def bench_inference():
 
     # -- the real metric: 512^3 on TPU ---------------------------------------
     # Block size 256 by default: the fully-convolutional model predicts any
-    # window size, and the single-512-block program's remote compile has
-    # crashed the tunnel's compile service (transport broken-pipe) — 27
-    # overlapping 256^3 blocks cost ~3x the voxel work but compile reliably.
+    # window size, and LARGER single-program blocks have crashed the
+    # tunnel's remote compile service (512 in round 2; a 384-block attempt
+    # in round 3 left the device unreachable the same way) — 27 overlapping
+    # 256^3 blocks cost ~3x the voxel work but compile reliably.
     # Set IUNET_BENCH_BLOCK=512 to attempt the single-block variant.
     block = int(os.environ.get("IUNET_BENCH_BLOCK", "256"))
     # Warm the EXACT programs the timed 512^3 run uses: the device
