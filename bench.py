@@ -12,8 +12,9 @@
    vs_baseline = 2.0/t against the same interactivity target.
 4. fullvolume_inference_512 — predict_volumes over a real 512^3 zarr volume
    (reference predict.py:114-264); vs_baseline = extrapolated CPU time /
-   TPU time, where the CPU reference is the SAME pipeline measured on the
-   jax CPU backend over a 128^3 volume in a subprocess and scaled by voxel
+   TPU time, where the CPU reference is the SAME pipeline with the SAME
+   27-block/25%-overlap tiling geometry measured on the jax CPU backend
+   over a 128^3 volume in a subprocess (min-of-3) and scaled by voxel
    count (BASELINE target >= 10x).  Includes a TPU-vs-CPU Dice parity gate
    on the 128^3 volume (voxel-exact claim; gate Dice >= 0.99).
 
@@ -294,17 +295,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
 sys.path.insert(0, sys.argv[1])
 ws = sys.argv[2]
 from interactive_unet_tpu.engine.predict import predict_volumes
-# warm + min-of-3 on the 128^3 volume (the host is ALSO time-shared: the
-# same measurement has read 4.3-34 s across windows, so a single sample
-# would make vs_baseline meaningless — round-2 weak item #2)
-r = predict_volumes(input_size=128, num_classes=2, root=ws)
+# 1) timing at input_size=64 on the 128^3 crop: 27 overlapping blocks —
+#    the SAME tiling geometry (3x3x3 blocks, 25% overlap, 3.375x voxel
+#    work) as the 512^3/block-256 run being extrapolated to, so both
+#    sides pay identical overlap overhead.  min-of-3 (the host is ALSO
+#    time-shared: this measurement has read 4.3-34 s across windows).
+predict_volumes(input_size=64, num_classes=2, root=ws)  # warm
 times = []
 for _ in range(3):
     t0 = time.time()
-    r = predict_volumes(input_size=128, num_classes=2, root=ws)
+    r2 = predict_volumes(input_size=64, num_classes=2, root=ws)
     times.append(time.time() - t0)
+# 2) parity volume at input_size=128 LAST (same config as the TPU small
+#    run) so the on-disk prediction the Dice gate reads matches it
+predict_volumes(input_size=128, num_classes=2, root=ws)
 print(json.dumps({"seconds": min(times), "all_seconds": times,
-                  "blocks": r[0]["blocks"]}), flush=True)
+                  "blocks": r2[0]["blocks"]}), flush=True)
 """
 
 
@@ -411,8 +417,10 @@ def bench_inference():
     r = predict_volumes(input_size=block, num_classes=2, root=WS)
     t_tpu = time.perf_counter() - t0
     voxels = 512 ** 3
-    # CPU time extrapolates linearly in voxel count (same per-voxel work:
-    # 3-axis 2.5D sweeps); measured, not assumed, at 128^3
+    # CPU time extrapolates linearly in voxel count: the CPU reference runs
+    # the IDENTICAL 27-block/25%-overlap tiling on its 128^3 volume
+    # (input_size=64), so scaling by the volume ratio models exactly "the
+    # same pipeline, same geometry, on CPU at 512^3 with 256-blocks"
     t_cpu_512 = t_cpu_small * (voxels / 128 ** 3)
     log(f"[infer] TPU 512^3: {t_tpu:.1f} s ({r[0]['blocks']} blocks); "
         f"CPU extrapolated: {t_cpu_512:.0f} s")
