@@ -34,6 +34,7 @@ import numpy as np
 from .. import storage
 from ..config import TrainConfig
 from ..models import build_model
+from ..models.layers import staypacked_scope
 from ..ops import blending
 from ..ops import colors as C
 from . import checkpoint as ckpt_io
@@ -98,7 +99,10 @@ def predict_slice(image_slice, num_channels=1, num_classes=2,
             f"a matching slice")
     x = (x[None] / 255).astype("float32")
     if return_probabilities:
-        return np.asarray(jax.jit(model.apply)(params, jnp.asarray(x)))
+        def probs_fn(p, xi):
+            with staypacked_scope():
+                return model.apply(p, xi)
+        return np.asarray(jax.jit(probs_fn)(params, jnp.asarray(x)))
     fn = _colored_fn(model, num_classes)
     return np.asarray(fn(params, jnp.asarray(x)))
 
@@ -112,7 +116,8 @@ def _colored_fn(model, num_classes):
     key = (model, num_classes)
     if key not in _COLORED_CACHE:
         def colored(p, x):
-            probs = model.apply(p, x)
+            with staypacked_scope():
+                probs = model.apply(p, x)
             ids = jnp.argmax(probs[0, :, :, :num_classes], axis=-1)
             return C.class_to_colored_device(ids, num_classes)
 
@@ -182,7 +187,8 @@ def make_block_predict_fn(model, input_size: int, num_classes: int,
             sl = jax.lax.dynamic_slice_in_dim(vol, i * bs, bs, 0)
             if slice_hook is not None:
                 sl = slice_hook(sl)
-            pred = model.apply(p, sl)
+            with staypacked_scope():
+                pred = model.apply(p, sl)
             return jax.lax.dynamic_update_slice_in_dim(acc, pred, i * bs, 0)
 
         acc = jnp.zeros((S, S, S, num_classes), jnp.float32)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import build_model
+from ..models.layers import staypacked_scope
 from ..ops import augment as aug
 from ..ops import colors as C
 from ..ops import metrics as M
@@ -101,7 +102,8 @@ def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float,
             (params, _, best_params, best_loss), losses = jax.lax.scan(
                 body, (params, opt_state, params, jnp.inf), keys)
 
-            pred = model.apply(best_params, x)
+            with staypacked_scope():
+                pred = model.apply(best_params, x)
             class_ids = jnp.argmax(pred[0], axis=-1).astype(jnp.int32)
             return best_params, class_ids, best_loss, losses
 

@@ -8,7 +8,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, resize_to
+from .layers import ConvNormAct, pair_handoff, resize_to
 from .unet import SegmentationHead
 
 
@@ -64,7 +64,8 @@ class DeepLabV3Plus(nn.Module):
         h = resize_to(h, low.shape[1:3], "bilinear")
         low = ConvNormAct(self.low_width, kernel=1, dtype=self.dtype)(low)
         h = jnp.concatenate([h, low], axis=-1)
-        h = ConvNormAct(self.width, dtype=self.dtype)(h)
-        h = ConvNormAct(self.width, dtype=self.dtype)(h)
+        pk = pair_handoff(h)
+        h = ConvNormAct(self.width, dtype=self.dtype, packed_out=pk)(h)
+        h = ConvNormAct(self.width, dtype=self.dtype, packed_in=pk)(h)
         h = resize_to(h, full_hw, "bilinear")
         return SegmentationHead(self.num_classes)(h)

@@ -29,7 +29,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, InvertedResidual, ResidualBlock
+from ..ops import packconv
+from .layers import ConvNormAct, InvertedResidual, ResidualBlock, pair_handoff
 
 
 class CNNEncoder(nn.Module):
@@ -41,15 +42,25 @@ class CNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Each stage's double conv exchanges packed tensors (layers.py
+        # packed_in/packed_out) and the 2x2 pool consumes the packed stage
+        # output as a lane-wise phase max — the only unpack per stage is
+        # the skip tensor itself.
         feats = []
-        x = ConvNormAct(self.widths[0], stride=2, dtype=self.dtype)(x)
-        x = ConvNormAct(self.widths[0], dtype=self.dtype)(x)
-        feats.append(x)                                        # stride 2
+        pk = pair_handoff(x, stride=2)
+        x = ConvNormAct(self.widths[0], stride=2, dtype=self.dtype,
+                        packed_out=pk)(x)
+        x = ConvNormAct(self.widths[0], dtype=self.dtype,
+                        packed_in=pk, packed_out=pk)(x)
+        feats.append(packconv.depth_to_space(x) if pk else x)  # stride 2
         for w in self.widths[1:]:
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = ConvNormAct(w, dtype=self.dtype)(x)
-            x = ConvNormAct(w, dtype=self.dtype)(x)
-            feats.append(x)
+            x = packconv.phase_max_pool(x) if pk \
+                else nn.max_pool(x, (2, 2), strides=(2, 2))
+            pk = pair_handoff(x)
+            x = ConvNormAct(w, dtype=self.dtype, packed_out=pk)(x)
+            x = ConvNormAct(w, dtype=self.dtype,
+                            packed_in=pk, packed_out=pk)(x)
+            feats.append(packconv.depth_to_space(x) if pk else x)
         return feats
 
 

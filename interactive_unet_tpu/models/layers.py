@@ -11,6 +11,7 @@ IUNET_PACKED_CONV=0 (plain nn.Conv path, same function).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -38,22 +39,31 @@ class _CanonicalConv3x3(nn.Module):
     """Phase-packed 3x3 conv holding the CANONICAL (3,3,Cin,Cout) kernel —
     instantiated with name="Conv_0" so the param tree is identical to the
     nn.Conv it replaces (checkpoints trained on either path interchange).
-    Returns the channel-major PACKED output (N, H/2s, W/2s, 4*Cout)."""
+    Returns the channel-major PACKED output (N, H/2s, W/2s, 4*Cout).
+
+    With ``packed_in`` the input is ALREADY packed (N, H/2, W/2, 4*Cin) and
+    the conv runs over the packed domain (ops/packconv.py stay-packed
+    formulation) — no unpack/repack transpose pair between back-to-back
+    packed convs."""
 
     features: int
     stride: int = 1
     use_bias: bool = False
+    packed_in: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 4 if self.packed_in else x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         # no explicit accumulator dtype: matches nn.Conv(dtype=...) exactly
         # (XLA still accumulates bf16 MXU convs in f32 internally), and the
         # conv stays cleanly transposable under autodiff
-        if (os.environ.get("IUNET_PALLAS_CONV", "0") == "1"
+        if self.packed_in:
+            y = packconv.packed_conv3x3_packed_input(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.stride)
+        elif (os.environ.get("IUNET_PALLAS_CONV", "0") == "1"
                 and self.stride == 1):
             from ..ops.pallas_conv import packed_conv3x3_pallas
             y = packed_conv3x3_pallas(x.astype(self.dtype),
@@ -97,6 +107,17 @@ class ConvNormAct(nn.Module):
     Plain 3x3 convs (groups=1, dilation=1, stride 1/2, even spatial dims)
     take the phase-packed path (module docstring); all other configurations
     use nn.Conv.  Both compute the same function.
+
+    ``packed_in``/``packed_out`` exchange CHANNEL-MAJOR PACKED tensors
+    (N, H/2, W/2, 4C) with the caller so back-to-back convs in a
+    double-conv pair skip the unpack/repack transpose pair entirely
+    (see ``pair_handoff``).  The flags are a pure layout contract — every
+    backend path honors them (the plain path inserts the transposes), the
+    param tree is unchanged, and the function computed is identical.  The
+    stay-packed conv itself (4x structural FLOPs, zero transposes) is only
+    profitable on narrow stages; above ``_STAYPACKED_MAX_CIN`` input
+    channels the layer unpacks and uses the embedded-kernel form instead
+    (same-window TPU sweep, docs/PERFORMANCE.md round-3).
     """
 
     features: int
@@ -108,15 +129,27 @@ class ConvNormAct(nn.Module):
     groups: int = 1
     norm: str = "group"          # "group" | "none"
     act_name: str = "relu"       # "relu" | "relu6"
+    packed_in: bool = False
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h, w = int(x.shape[1]), int(x.shape[2])
+        if self.packed_in:
+            h, w = 2 * int(x.shape[1]), 2 * int(x.shape[2])
+            cin = int(x.shape[-1]) // 4
+        else:
+            h, w = int(x.shape[1]), int(x.shape[2])
+            cin = int(x.shape[-1])
         if (packed_conv_enabled()
                 and packconv.packable(h, w, self.kernel, self.stride,
                                       self.groups, self.dilation)):
+            stay = (self.packed_in and self.stride == 1
+                    and cin <= _staypacked_max_cin())
+            if self.packed_in and not stay:
+                x = packconv.depth_to_space(x)
             y = _CanonicalConv3x3(self.features, stride=self.stride,
                                   use_bias=(self.norm == "none"),
+                                  packed_in=stay,
                                   dtype=self.dtype, name="Conv_0")(x)
             if self.norm == "group":
                 y = _PackedGroupNorm(_num_groups(self.features),
@@ -125,8 +158,10 @@ class ConvNormAct(nn.Module):
             if self.act:
                 y = jax.nn.relu6(y) if self.act_name == "relu6" \
                     else nn.relu(y)
-            return packconv.depth_to_space(y)
+            return y if self.packed_out else packconv.depth_to_space(y)
 
+        if self.packed_in:
+            x = packconv.depth_to_space(x)
         p = self.dilation * (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
@@ -139,7 +174,54 @@ class ConvNormAct(nn.Module):
             x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
         if self.act:
             x = jax.nn.relu6(x) if self.act_name == "relu6" else nn.relu(x)
-        return x
+        return packconv.space_to_depth(x) if self.packed_out else x
+
+
+_STAYPACKED_SCOPE: list = []
+
+
+@contextlib.contextmanager
+def staypacked_scope(cin_max: int = 32):
+    """Enable the stay-packed packed-domain conv while TRACING a
+    forward-only program (inference/predict paths).  Must wrap the
+    ``model.apply`` call INSIDE the jitted function body — that Python runs
+    at trace time, which is when the cutoff is consulted.
+
+    Forward-only, stay-packed wins 1.14x on the flagship 512^2 forward;
+    under autodiff it LOSES 0.87x because the kernel-gradient of the
+    packed-domain kernel costs 16x the plain formulation's FLOPs
+    (scripts/ab_train_staypacked.py, same-window interleaved) — hence
+    opt-in per trace instead of a global default."""
+    _STAYPACKED_SCOPE.append(cin_max)
+    try:
+        yield
+    finally:
+        _STAYPACKED_SCOPE.pop()
+
+
+def _staypacked_max_cin() -> int:
+    """Width cutoff for the stay-packed (packed-domain) conv: measured
+    faster at Cin<=32 (2.4x at C=16/512^2, 1.4x at C=32/256^2) and slower
+    from Cin=64 up, where its 4x structural FLOPs outweigh the saved
+    transposes (scripts/ab_staypacked.py, same-window interleaved).
+    Default 0 (off): training traces must not take it (see
+    ``staypacked_scope``); IUNET_STAYPACKED_MAX_CIN overrides everything
+    (A/B scripts)."""
+    env = os.environ.get("IUNET_STAYPACKED_MAX_CIN")
+    if env is not None:
+        return int(env)
+    return _STAYPACKED_SCOPE[-1] if _STAYPACKED_SCOPE else 0
+
+
+def pair_handoff(x, stride: int = 1) -> bool:
+    """True when a double-conv pair starting from (unpacked) ``x`` should
+    exchange packed tensors: conv1(packed_out=True) -> conv2(packed_in=True).
+    Trace-time shape check only — callers gate BOTH flags on this so odd
+    spatial sizes and CPU runs keep today's exact graphs."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    return (packed_conv_enabled()
+            and packconv.packable(h, w, 3, stride, 1, 1)
+            and packconv.packable(h // stride, w // stride, 3, 1, 1, 1))
 
 
 def _num_groups(c: int, target: int = 8) -> int:

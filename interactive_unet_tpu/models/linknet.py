@@ -6,7 +6,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, SCSE, upsample, upsample_to, resize_to
+from .layers import ConvNormAct, SCSE, pair_handoff, upsample, upsample_to, resize_to
 from .unet import SegmentationHead
 
 
@@ -73,13 +73,15 @@ class MAnet(nn.Module):
         for w, skip in zip(widths, feats[-2::-1]):
             h = upsample_to(h, skip.shape[1:3])
             h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
-            h = ConvNormAct(w, dtype=self.dtype)(h)
-            h = ConvNormAct(w, dtype=self.dtype)(h)
+            pk = pair_handoff(h)
+            h = ConvNormAct(w, dtype=self.dtype, packed_out=pk)(h)
+            h = ConvNormAct(w, dtype=self.dtype, packed_in=pk)(h)
             h = SCSE(dtype=self.dtype)(h)
         # final light block back to stride 1 (input as shallowest skip)
         h = upsample_to(h, x.shape[1:3])
         h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
-        h = ConvNormAct(16, dtype=self.dtype)(h)
-        h = ConvNormAct(16, dtype=self.dtype)(h)
+        pk = pair_handoff(h)
+        h = ConvNormAct(16, dtype=self.dtype, packed_out=pk)(h)
+        h = ConvNormAct(16, dtype=self.dtype, packed_in=pk)(h)
         h = SCSE(dtype=self.dtype)(h)
         return SegmentationHead(self.num_classes)(h)

@@ -8,7 +8,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvNormAct, SCSE, upsample, upsample_to
+from .layers import ConvNormAct, SCSE, pair_handoff, upsample, upsample_to
 
 
 class SegmentationHead(nn.Module):
@@ -42,14 +42,16 @@ class UNetDecoder(nn.Module):
         for w, skip in zip(self.widths, skips):
             x = upsample_to(x, skip.shape[1:3])
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ConvNormAct(w, dtype=self.dtype)(x)
-            x = ConvNormAct(w, dtype=self.dtype)(x)
+            pk = pair_handoff(x)
+            x = ConvNormAct(w, dtype=self.dtype, packed_out=pk)(x)
+            x = ConvNormAct(w, dtype=self.dtype, packed_in=pk)(x)
             if self.use_scse:
                 x = SCSE(dtype=self.dtype)(x)
         x = upsample_to(x, image.shape[1:3])
         x = jnp.concatenate([x, image.astype(x.dtype)], axis=-1)
-        x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
-        x = ConvNormAct(self.final_width, dtype=self.dtype)(x)
+        pk = pair_handoff(x)
+        x = ConvNormAct(self.final_width, dtype=self.dtype, packed_out=pk)(x)
+        x = ConvNormAct(self.final_width, dtype=self.dtype, packed_in=pk)(x)
         if self.use_scse:
             x = SCSE(dtype=self.dtype)(x)
         return x
@@ -92,12 +94,14 @@ class UNetPlusPlus(nn.Module):
                                  grid[(i, 0)].shape[1:3])
                 cat = [grid[(i, k)].astype(up.dtype) for k in range(j)] + [up]
                 h = jnp.concatenate(cat, axis=-1)
-                h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
-                h = ConvNormAct(row_w[i], dtype=self.dtype)(h)
+                pk = pair_handoff(h)
+                h = ConvNormAct(row_w[i], dtype=self.dtype, packed_out=pk)(h)
+                h = ConvNormAct(row_w[i], dtype=self.dtype, packed_in=pk)(h)
                 grid[(i, j)] = h
         # final light block back to stride 1 (input as shallowest skip)
         h = upsample_to(grid[(0, depth - 1)], x.shape[1:3])
         h = jnp.concatenate([h, x.astype(h.dtype)], axis=-1)
-        h = ConvNormAct(16, dtype=self.dtype)(h)
-        h = ConvNormAct(16, dtype=self.dtype)(h)
+        pk = pair_handoff(h)
+        h = ConvNormAct(16, dtype=self.dtype, packed_out=pk)(h)
+        h = ConvNormAct(16, dtype=self.dtype, packed_in=pk)(h)
         return SegmentationHead(self.num_classes)(h)

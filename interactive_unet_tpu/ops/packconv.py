@@ -111,6 +111,66 @@ def packed_conv3x3(x: jax.Array, w3: jax.Array, stride: int = 1,
         preferred_element_type=preferred_element_type)
 
 
+def _packed_phase_embedding(stride: int) -> np.ndarray:
+    """E[r, q, p, d] = 1 where packed-row tap r, input phase q contribute
+    original kernel tap d to output phase p.
+
+    Derivation: output unpacked row ``o = stride*(2t+p) + d - 1`` must equal
+    ``2*(stride*t + r... )`` — solving for the packed input row offset r and
+    input phase q gives ``d = 2*r + q - stride*p + 1`` with d in {0,1,2} and
+    r in {-1,0,1} (stored at index r+1)."""
+    E = np.zeros((3, 2, 2, 3), np.float32)
+    for r in (-1, 0, 1):
+        for q in range(2):
+            for p in range(2):
+                d = 2 * r + q - stride * p + 1
+                if 0 <= d <= 2:
+                    E[r + 1, q, p, d] = 1.0
+    return E
+
+
+def embed_kernel_packed(w3: jax.Array, stride: int = 1) -> jax.Array:
+    """(3,3,Cin,Cout) kernel -> (3,3,4*Cin,4*Cout) kernel over the PACKED
+    domain: a stride-``stride`` SAME conv of this kernel over a channel-major
+    packed tensor equals the packed original conv's packed output.  Density
+    is 25% (each original tap appears once per output phase)."""
+    assert w3.shape[0] == w3.shape[1] == 3, "3x3 kernels only"
+    E = jnp.asarray(_packed_phase_embedding(stride), w3.dtype)
+    # Wp[r,s, ci,qi,qj, co,pi,pj] = E[r,qi,pi,di] E[s,qj,pj,dj] w3[di,dj,ci,co]
+    w = jnp.einsum("rapd,sbqe,deio->rsiabopq", E, E, w3)
+    cin, cout = w3.shape[2], w3.shape[3]
+    # (r,s,ci,qi,qj,co,pi,pj) -> channel-major packed channels
+    return w.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def packed_conv3x3_packed_input(xp: jax.Array, w3: jax.Array, stride: int = 1,
+                                preferred_element_type=None) -> jax.Array:
+    """3x3 conv whose INPUT is already channel-major packed
+    (N, H/2, W/2, 4*Cin); returns the packed output — equivalent (up to
+    float reassociation) to ``packed_conv3x3(depth_to_space(xp), w3, stride)``
+    without materializing the unpacked tensor.  Contraction depth is
+    9*4*Cin with 25% structural density (4x the original conv's FLOPs vs
+    16/9 for the unpacked-input form) — the trade is eliminating the
+    depth_to_space/repack transpose pair between back-to-back packed convs."""
+    if stride not in (1, 2):
+        raise ValueError(f"unsupported stride {stride}")
+    w = embed_kernel_packed(w3, stride)
+    return jax.lax.conv_general_dilated(
+        xp, w, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_element_type)
+
+
+def phase_max_pool(xp: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool CONSUMING a packed tensor: (N, h, w, 4C)
+    channel-major packed -> (N, h, w, C) unpacked at the pooled resolution.
+    Each packed channel's four phase lanes ARE the 2x2 pooling window, so
+    the pool is a lane-wise max — no unpack, no window shuffle.  Equals
+    ``nn.max_pool(depth_to_space(xp), (2, 2), strides=(2, 2))``."""
+    n, hh, ww, c4 = xp.shape
+    return jnp.max(xp.reshape(n, hh, ww, c4 // 4, 4), axis=-1)
+
+
 def repeat_channels(v: jax.Array) -> jax.Array:
     """(C,)-shaped per-channel parameter -> (4C,) for packed tensors
     (channel-major: each channel's 4 phases are adjacent)."""
