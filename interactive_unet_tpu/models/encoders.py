@@ -166,11 +166,13 @@ class EfficientNetLiteEncoder(nn.Module):
 
 
 class TorchResNetEncoder(nn.Module):
-    """torchvision resnet18/34 ``features`` geometry: 7x7/2 stem + maxpool,
-    BasicBlocks with 1x1 downsample shortcuts; folded-BN (biased convs) when
-    norm="none".  Pyramid at strides (2, 4, 8, 16, 32)."""
+    """torchvision resnet ``features`` geometry: 7x7/2 stem + maxpool,
+    BasicBlocks (resnet18/34) or Bottlenecks (resnet50/101) with 1x1
+    downsample shortcuts; folded-BN (biased convs) when norm="none".
+    Pyramid at strides (2, 4, 8, 16, 32)."""
 
-    layers: Sequence[int] = (2, 2, 2, 2)     # resnet18; (3,4,6,3) = resnet34
+    layers: Sequence[int] = (2, 2, 2, 2)     # resnet18; (3,4,6,3) = 34/50
+    block: str = "basic"                     # "basic" | "bottleneck"
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "none"
 
@@ -186,8 +188,13 @@ class TorchResNetEncoder(nn.Module):
                 zip(self.layers, (64, 128, 256, 512))):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                x = TorchBasicBlock(width, stride=stride, dtype=self.dtype,
-                                    norm=self.norm)(x)
+                if self.block == "bottleneck":
+                    x = TorchBottleneckBlock(width, stride=stride,
+                                             dtype=self.dtype,
+                                             norm=self.norm)(x)
+                else:
+                    x = TorchBasicBlock(width, stride=stride,
+                                        dtype=self.dtype, norm=self.norm)(x)
             feats.append(x)                   # strides 4, 8, 16, 32
         return feats
 
@@ -214,6 +221,38 @@ class TorchBasicBlock(nn.Module):
             if self.norm == "group":
                 from .layers import _num_groups as _ng
                 x = nn.GroupNorm(num_groups=_ng(self.features),
+                                 dtype=self.dtype)(x)
+        return nn.relu(h + x)
+
+
+class TorchBottleneckBlock(nn.Module):
+    """torchvision Bottleneck (resnet50/101): 1x1 reduce -> 3x3 (stride
+    here, torchvision's placement) -> 1x1 expand x4; 1x1 downsample
+    shortcut on shape change."""
+
+    width: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        c_out = self.width * 4
+        c_in = x.shape[-1]
+        h = ConvNormAct(self.width, kernel=1, dtype=self.dtype,
+                        norm=self.norm)(x)                    # conv1+bn1+relu
+        h = ConvNormAct(self.width, stride=self.stride, dtype=self.dtype,
+                        norm=self.norm)(h)                    # conv2+bn2+relu
+        h = ConvNormAct(c_out, kernel=1, act=False, dtype=self.dtype,
+                        norm=self.norm)(h)                    # conv3+bn3
+        if self.stride != 1 or c_in != c_out:
+            x = nn.Conv(c_out, (1, 1),
+                        strides=(self.stride, self.stride),
+                        use_bias=(self.norm == "none"),
+                        dtype=self.dtype)(x)
+            if self.norm == "group":
+                from .layers import _num_groups as _ng
+                x = nn.GroupNorm(num_groups=_ng(c_out),
                                  dtype=self.dtype)(x)
         return nn.relu(h + x)
 
@@ -295,6 +334,8 @@ ENCODER_BUILDERS = {
     "cnn_l": lambda dtype: CNNEncoder(widths=(64, 128, 256, 512, 1024), dtype=dtype),
     "resnet18": lambda dtype: ResNetEncoder(blocks=2, dtype=dtype),
     "resnet34": lambda dtype: ResNetEncoder(blocks=3, dtype=dtype),
+    "resnet50": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 6, 3), block="bottleneck", norm="group", dtype=dtype),
     "mobilenet_v2": lambda dtype: MobileNetV2Encoder(dtype=dtype),
     "efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
     "efficientnet_lite1": lambda dtype: EfficientNetLiteEncoder(

@@ -111,12 +111,15 @@ def adapt_input_channels(kernel: np.ndarray, num_channels: int) -> np.ndarray:
     return k * (c_in / num_channels)
 
 
-def resnet_to_flax(state_dict: dict, layers=(2, 2, 2, 2)) -> dict:
-    """torchvision ``resnet18``/``resnet34`` state_dict -> nested flax param
-    dict for ``TorchResNetEncoder(norm="none")`` (models/encoders.py).
+def resnet_to_flax(state_dict: dict, layers=(2, 2, 2, 2),
+                   bottleneck: bool = False) -> dict:
+    """torchvision ``resnet18/34`` (BasicBlock) or ``resnet50/101``
+    (Bottleneck, ``bottleneck=True``) state_dict -> nested flax param dict
+    for ``TorchResNetEncoder(norm="none")`` (models/encoders.py).
     The fc head is ignored; BN folds into biased convs."""
     sd = state_dict
     out = {"ConvNormAct_0": {"Conv_0": _folded(sd, "conv1", "bn1")}}
+    kind = "TorchBottleneckBlock" if bottleneck else "TorchBasicBlock"
     block = 0
     for stage, n in enumerate(layers):
         for b in range(n):
@@ -127,10 +130,13 @@ def resnet_to_flax(state_dict: dict, layers=(2, 2, 2, 2)) -> dict:
                 "ConvNormAct_1": {"Conv_0": _folded(sd, f"{pre}.conv2",
                                                     f"{pre}.bn2")},
             }
+            if bottleneck:
+                scope["ConvNormAct_2"] = {"Conv_0": _folded(
+                    sd, f"{pre}.conv3", f"{pre}.bn3")}
             if f"{pre}.downsample.0.weight" in sd:
                 scope["Conv_0"] = _folded(sd, f"{pre}.downsample.0",
                                           f"{pre}.downsample.1")
-            out[f"TorchBasicBlock_{block}"] = scope
+            out[f"{kind}_{block}"] = scope
             block += 1
     return out
 
@@ -185,6 +191,8 @@ _IMPORTERS = {
     "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet34": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3)),
+    "resnet50": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3),
+                                   bottleneck=True),
     "efficientnet_lite0": _functools.partial(
         efficientnet_lite_to_flax, variant="efficientnet_lite0"),
     "timm-tf_efficientnet_lite0": _functools.partial(

@@ -182,6 +182,53 @@ class _TVResNet(nn.Module):
         return [o.detach().numpy().transpose(0, 2, 3, 1) for o in outs]
 
 
+class _TVBottleneck(nn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return torch.relu(h + idt)
+
+
+class _TVResNet50(nn.Module):
+    """torchvision resnet50 layout built from scratch (Bottleneck stages)."""
+
+    def __init__(self, layers=(3, 4, 6, 3), seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for i, (n, w) in enumerate(zip(layers, (64, 128, 256, 512))):
+            blocks = []
+            for b in range(n):
+                blocks.append(_TVBottleneck(cin, w,
+                                            2 if (i > 0 and b == 0) else 1))
+                cin = w * 4
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        _randomize_bn(self, seed + 1)
+        self.eval()
+
+    features = _TVResNet.features
+
+
 def _randomize_bn(m, seed):
     g = torch.Generator().manual_seed(seed)
     for mod in m.modules():
@@ -193,17 +240,21 @@ def _randomize_bn(m, seed):
 
 
 @pytest.mark.parametrize("name,layers", [("resnet18", (2, 2, 2, 2)),
-                                         ("resnet34", (3, 4, 6, 3))])
+                                         ("resnet34", (3, 4, 6, 3)),
+                                         ("resnet50", (3, 4, 6, 3))])
 def test_resnet_import_activation_parity(name, layers):
     import jax
     import jax.numpy as jnp
 
     from interactive_unet_tpu.models.encoders import TorchResNetEncoder
 
-    tm = _TVResNet(layers)
-    imported = TI.resnet_to_flax(tm.state_dict(), layers=layers)
+    bottleneck = name == "resnet50"
+    tm = _TVResNet50(layers) if bottleneck else _TVResNet(layers)
+    imported = TI.resnet_to_flax(tm.state_dict(), layers=layers,
+                                 bottleneck=bottleneck)
 
-    enc = TorchResNetEncoder(layers=layers, norm="none", dtype=jnp.float32)
+    enc = TorchResNetEncoder(layers=layers, norm="none", dtype=jnp.float32,
+                             block="bottleneck" if bottleneck else "basic")
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
     params = enc.init(jax.random.key(0), jnp.asarray(x))
@@ -328,6 +379,7 @@ def test_efficientnet_lite_import_activation_parity(variant):
 
 @pytest.mark.parametrize("encoder,builder", [
     ("resnet18", lambda: _TVResNet((2, 2, 2, 2), seed=5)),
+    ("resnet50", lambda: _TVResNet50(seed=7)),
     ("efficientnet_lite0", lambda: _TimmEffLite(seed=6)),
 ])
 def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
