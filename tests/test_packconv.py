@@ -226,6 +226,25 @@ def test_pallas_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-4)
 
 
+def test_pallas_multi_tile_matches_xla(rng, monkeypatch):
+    """The pipelined multi-tile schedule computes the identical packed
+    conv.  Forcing a 2-row tile on a 16-row output makes T=8 tiles,
+    exercising the staged halo blocks across tile boundaries; TH=16 covers
+    the single-tile edge."""
+    from interactive_unet_tpu.ops import pallas_conv as PLC
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
+    ref = jnp.maximum(PC.packed_conv3x3(x, w, 1) + PC.repeat_channels(b), 0)
+    monkeypatch.setattr(PLC, "_ROW_TILE_OVERRIDE", 2)
+    got = PLC.pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    monkeypatch.setattr(PLC, "_ROW_TILE_OVERRIDE", 16)
+    got1 = PLC.pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref), atol=1e-4)
+
+
 def test_pallas_path_in_convnormact(rng, monkeypatch):
     """IUNET_PALLAS_CONV=1 routes ConvNormAct through the Pallas kernel with
     working gradients (custom_vjp -> XLA backward)."""
