@@ -250,7 +250,13 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
         elif name == "reset_all":
             state.reset_all()
         elif name == "set":
-            for k, v in a.get("values", {}).items():
+            # accept both {"name":"set","values":{...}} and flat
+            # {"name":"set","encoder_name":...} — flat keys were silently
+            # ignored before, which made a misspelled client no-op
+            values = {k: v for k, v in a.items()
+                      if k not in ("name", "values")}
+            values.update(a.get("values", {}))
+            for k, v in values.items():
                 if k in ("num_classes", "input_size") and state.train_samples:
                     continue  # locked once samples exist (app.py:442-443)
                 if k == "num_classes":

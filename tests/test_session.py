@@ -132,6 +132,12 @@ def test_http_wire(tiny_ws):
                 "name": "set", "values": {"suggestor_fit_stride": 2}})
             assert (await r.json())["status"]["suggestor_fit_stride"] == 2
             assert app["state"].suggestor_fit_stride == 2
+            # flat form (no "values" wrapper) also applies — it was
+            # silently ignored before, a no-op trap for API clients
+            r = await client.post("/action", json={
+                "name": "set", "encoder_name": "resnet50"})
+            assert (await r.json())["ok"]
+            assert app["state"].train_config.encoder_name == "resnet50"
         finally:
             await client.close()
 
