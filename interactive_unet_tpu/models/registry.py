@@ -42,7 +42,7 @@ _BUILDERS = {
 IMPORTABLE_ENCODERS = {"mobilenet_v2", "resnet18", "resnet34", "resnet",
                        "resnet50", "efficientnet_lite0",
                        "efficientnet_lite1", "efficientnet_lite2",
-                       "timm-tf_efficientnet_lite0"}
+                       "timm-tf_efficientnet_lite0", "mit_b0"}
 
 
 def _pretrained_form(encoder_name: str, dtype):
@@ -73,6 +73,11 @@ def _pretrained_form(encoder_name: str, dtype):
 def build_encoder(encoder_name: str, dtype=jnp.bfloat16,
                   pretrained: bool = False):
     if encoder_name == "mit_b0":
+        if pretrained:
+            # exact torch mit_b0 geometry (LN stays — transformers have no
+            # BN to fold) so official SegFormer weights name-map in
+            from .segformer import TorchMiTEncoder
+            return TorchMiTEncoder(dtype=dtype)
         return MiTEncoder(dtype=dtype)
     if encoder_name not in ENCODER_BUILDERS:
         raise ValueError(

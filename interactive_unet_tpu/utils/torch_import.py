@@ -184,9 +184,66 @@ def efficientnet_lite_to_flax(state_dict: dict,
     return out
 
 
+def _dense(sd, key):
+    """torch nn.Linear -> flax nn.Dense (kernel transposed)."""
+    return {"kernel": _np(sd[f"{key}.weight"]).T,
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def _ln(sd, key):
+    """torch nn.LayerNorm -> flax nn.LayerNorm."""
+    return {"scale": _np(sd[f"{key}.weight"]),
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def _conv(sd, key):
+    """Biased torch conv (incl. depthwise (C,1,k,k)) -> flax HWIO."""
+    return {"kernel": _oihw_to_hwio(_np(sd[f"{key}.weight"])),
+            "bias": _np(sd[f"{key}.bias"])}
+
+
+def mit_to_flax(state_dict: dict, depths=(2, 2, 2, 2)) -> dict:
+    """Official SegFormer ``mit_b0`` state_dict (NVlabs mix_transformer.py
+    layout; also what smp/timm redistribute) -> nested flax params for
+    ``models.segformer.TorchMiTEncoder``.  The stride-2 ``stem`` feat has no
+    torch counterpart and stays at its fresh init (overlay only touches
+    mapped keys).  mmseg-style ``backbone.`` prefixes are stripped; the
+    segmentation head (``head.*``/``decode_head.*``) is ignored."""
+    sd = {k.removeprefix("backbone."): v for k, v in state_dict.items()
+          if not k.startswith(("head.", "decode_head."))}
+    out = {}
+    for i, depth in enumerate(depths):
+        s = i + 1
+        out[f"patch_embed{s}_proj"] = _conv(sd, f"patch_embed{s}.proj")
+        out[f"patch_embed{s}_norm"] = _ln(sd, f"patch_embed{s}.norm")
+        for j in range(depth):
+            pre = f"block{s}.{j}"
+            attn = {
+                "q": _dense(sd, f"{pre}.attn.q"),
+                "kv": _dense(sd, f"{pre}.attn.kv"),
+                "proj": _dense(sd, f"{pre}.attn.proj"),
+            }
+            if f"{pre}.attn.sr.weight" in sd:
+                attn["sr"] = _conv(sd, f"{pre}.attn.sr")
+                attn["norm"] = _ln(sd, f"{pre}.attn.norm")
+            out[f"block{s}_{j}"] = {
+                "norm1": _ln(sd, f"{pre}.norm1"),
+                "norm2": _ln(sd, f"{pre}.norm2"),
+                "attn": attn,
+                "mlp": {
+                    "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                    "dwconv": _conv(sd, f"{pre}.mlp.dwconv.dwconv"),
+                    "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+                },
+            }
+        out[f"norm{s}"] = _ln(sd, f"norm{s}")
+    return out
+
+
 import functools as _functools
 
 _IMPORTERS = {
+    "mit_b0": mit_to_flax,
     "mobilenet_v2": mobilenet_v2_to_flax,
     "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),

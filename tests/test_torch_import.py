@@ -436,3 +436,175 @@ def test_pretrained_end_to_end_graft(tmp_path, monkeypatch):
     # unknown encoder -> clean no-op
     _, n0 = TI.maybe_load_pretrained(params, "cnn_m")
     assert n0 == 0
+
+
+# -- official SegFormer mit_b0 (NVlabs mix_transformer.py), from scratch ------
+
+class _TMAttention(nn.Module):
+    def __init__(self, dim, heads, sr_ratio):
+        super().__init__()
+        self.heads, self.sr_ratio = heads, sr_ratio
+        self.scale = (dim // heads) ** -0.5
+        self.q = nn.Linear(dim, dim)
+        self.kv = nn.Linear(dim, dim * 2)
+        self.proj = nn.Linear(dim, dim)
+        if sr_ratio > 1:
+            self.sr = nn.Conv2d(dim, dim, sr_ratio, sr_ratio)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        q = self.q(x).reshape(B, N, self.heads, C // self.heads) \
+            .permute(0, 2, 1, 3)
+        if self.sr_ratio > 1:
+            x_ = x.permute(0, 2, 1).reshape(B, C, H, W)
+            x_ = self.sr(x_).reshape(B, C, -1).permute(0, 2, 1)
+            x_ = self.norm(x_)
+        else:
+            x_ = x
+        kv = self.kv(x_).reshape(B, -1, 2, self.heads, C // self.heads) \
+            .permute(2, 0, 3, 1, 4)
+        k, v = kv[0], kv[1]
+        attn = (q @ k.transpose(-2, -1)) * self.scale
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+        return self.proj(out)
+
+
+class _TMDWConv(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+
+    def forward(self, x, H, W):
+        B, N, C = x.shape
+        x = x.transpose(1, 2).view(B, C, H, W)
+        x = self.dwconv(x)
+        return x.flatten(2).transpose(1, 2)
+
+
+class _TMMlp(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, dim * 4)
+        self.dwconv = _TMDWConv(dim * 4)
+        self.act = nn.GELU()
+        self.fc2 = nn.Linear(dim * 4, dim)
+
+    def forward(self, x, H, W):
+        return self.fc2(self.act(self.dwconv(self.fc1(x), H, W)))
+
+
+class _TMBlock(nn.Module):
+    def __init__(self, dim, heads, sr_ratio):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = _TMAttention(dim, heads, sr_ratio)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = _TMMlp(dim)
+
+    def forward(self, x, H, W):
+        x = x + self.attn(self.norm1(x), H, W)
+        return x + self.mlp(self.norm2(x), H, W)
+
+
+class _TMPatchEmbed(nn.Module):
+    def __init__(self, cin, dim, patch, stride, pad):
+        super().__init__()
+        self.proj = nn.Conv2d(cin, dim, patch, stride, pad)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        x = self.proj(x)
+        _, _, H, W = x.shape
+        return self.norm(x.flatten(2).transpose(1, 2)), H, W
+
+
+class _TorchMiT(nn.Module):
+    """mit_b0 layout (dims 32/64/160/256, depths 2222, heads 1258,
+    sr 8421) with official state-dict key names."""
+
+    def __init__(self, seed=0):
+        super().__init__()
+        torch.manual_seed(seed)
+        dims, depths = (32, 64, 160, 256), (2, 2, 2, 2)
+        heads, srs = (1, 2, 5, 8), (8, 4, 2, 1)
+        cin = 3
+        for i, (d, n, h, sr) in enumerate(zip(dims, depths, heads, srs)):
+            p, s, pad = (7, 4, 3) if i == 0 else (3, 2, 1)
+            setattr(self, f"patch_embed{i + 1}",
+                    _TMPatchEmbed(cin, d, p, s, pad))
+            setattr(self, f"block{i + 1}", nn.ModuleList(
+                [_TMBlock(d, h, sr) for _ in range(n)]))
+            setattr(self, f"norm{i + 1}", nn.LayerNorm(d, eps=1e-6))
+            cin = d
+        self.eval()
+
+    def features(self, x):
+        outs = []
+        B = x.shape[0]
+        for i in range(4):
+            x, H, W = getattr(self, f"patch_embed{i + 1}")(x)
+            for blk in getattr(self, f"block{i + 1}"):
+                x = blk(x, H, W)
+            x = getattr(self, f"norm{i + 1}")(x)
+            outs.append(x.reshape(B, H, W, -1).detach().numpy())
+            x = x.reshape(B, H, W, -1).permute(0, 3, 1, 2)
+        return outs
+
+
+def test_mit_import_activation_parity():
+    """TorchMiTEncoder + mit_to_flax reproduce the official mit_b0's four
+    stage outputs (strides 4..32) from the same weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models.segformer import TorchMiTEncoder
+
+    tm = _TorchMiT(seed=11)
+    with torch.no_grad():
+        for p in tm.parameters():  # non-degenerate weights everywhere
+            p.add_(torch.randn_like(p) * 0.02)
+    imported = TI.mit_to_flax(tm.state_dict())
+
+    enc = TorchMiTEncoder(dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    params, n = TI.graft_encoder_params(
+        {"params": {"encoder": params["params"]}}, imported, num_channels=3)
+    assert n > 100
+    feats = enc.apply({"params": params["params"]["encoder"]},
+                      jnp.asarray(x))
+
+    ref = tm.features(torch.tensor(x).permute(0, 3, 1, 2))
+    assert len(feats) == 5  # stem + 4 torch stages
+    for got, want in zip(feats[1:], ref):
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
+
+
+def test_mit_pretrained_changes_init(tmp_path, monkeypatch):
+    """pretrained=True + a local mit_b0.pt changes the initial function —
+    closes the last UI-exposed encoder without import (Segformer arch,
+    the reference trainer's default encoder family)."""
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models import build_model
+
+    torch.save(_TorchMiT(seed=12).state_dict(), tmp_path / "mit_b0.pt")
+    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path))
+
+    model = build_model(architecture="Segformer", encoder_name="mit_b0",
+                        num_classes=2, pretrained=True)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 1)),
+                    jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    before = np.asarray(model.apply(params, x))
+    params2, n = TI.maybe_load_pretrained(params, "mit_b0", num_channels=1)
+    assert n > 100
+    after = np.asarray(model.apply(params2, x))
+    assert not np.allclose(before, after)
+    assert np.isfinite(after).all()
