@@ -18,7 +18,15 @@ ARCHITECTURES = [
     "LinkNet", "MA-Net", "PAN", "UPerNet", "Segformer",
 ]
 
-ENCODERS = sorted(set(ENCODER_BUILDERS) | {"mit_b0"})
+# MiT (SegFormer mix transformer) scale ladder — dims/depths per the
+# official mix_transformer.py configs; heads (1,2,5,8) / sr (8,4,2,1) shared
+_MIT_CONFIGS = {
+    "mit_b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
+    "mit_b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
+    "mit_b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3)),
+}
+
+ENCODERS = sorted(set(ENCODER_BUILDERS) | set(_MIT_CONFIGS))
 
 _BUILDERS = {
     "U-Net": unet.UNet,
@@ -42,7 +50,8 @@ _BUILDERS = {
 IMPORTABLE_ENCODERS = {"mobilenet_v2", "resnet18", "resnet34", "resnet",
                        "resnet50", "efficientnet_lite0",
                        "efficientnet_lite1", "efficientnet_lite2",
-                       "timm-tf_efficientnet_lite0", "mit_b0"}
+                       "timm-tf_efficientnet_lite0", "mit_b0", "mit_b1",
+                       "mit_b2"}
 
 
 def _pretrained_form(encoder_name: str, dtype):
@@ -72,13 +81,14 @@ def _pretrained_form(encoder_name: str, dtype):
 
 def build_encoder(encoder_name: str, dtype=jnp.bfloat16,
                   pretrained: bool = False):
-    if encoder_name == "mit_b0":
+    if encoder_name in _MIT_CONFIGS:
+        cfg = _MIT_CONFIGS[encoder_name]
         if pretrained:
-            # exact torch mit_b0 geometry (LN stays — transformers have no
+            # exact torch MiT geometry (LN stays — transformers have no
             # BN to fold) so official SegFormer weights name-map in
             from .segformer import TorchMiTEncoder
-            return TorchMiTEncoder(dtype=dtype)
-        return MiTEncoder(dtype=dtype)
+            return TorchMiTEncoder(dtype=dtype, **cfg)
+        return MiTEncoder(dtype=dtype, **cfg)
     if encoder_name not in ENCODER_BUILDERS:
         raise ValueError(
             f"unknown encoder {encoder_name!r}; available: {ENCODERS}")

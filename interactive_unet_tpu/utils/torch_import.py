@@ -244,6 +244,8 @@ import functools as _functools
 
 _IMPORTERS = {
     "mit_b0": mit_to_flax,
+    "mit_b1": mit_to_flax,
+    "mit_b2": _functools.partial(mit_to_flax, depths=(3, 4, 6, 3)),
     "mobilenet_v2": mobilenet_v2_to_flax,
     "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),

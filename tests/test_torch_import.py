@@ -520,14 +520,21 @@ class _TMPatchEmbed(nn.Module):
         return self.norm(x.flatten(2).transpose(1, 2)), H, W
 
 
-class _TorchMiT(nn.Module):
-    """mit_b0 layout (dims 32/64/160/256, depths 2222, heads 1258,
-    sr 8421) with official state-dict key names."""
+_MIT_GEOM = {
+    "mit_b0": ((32, 64, 160, 256), (2, 2, 2, 2)),
+    "mit_b1": ((64, 128, 320, 512), (2, 2, 2, 2)),
+    "mit_b2": ((64, 128, 320, 512), (3, 4, 6, 3)),
+}
 
-    def __init__(self, seed=0):
+
+class _TorchMiT(nn.Module):
+    """MiT layout (heads 1258, sr 8421; dims/depths per variant) with
+    official state-dict key names."""
+
+    def __init__(self, seed=0, variant="mit_b0"):
         super().__init__()
         torch.manual_seed(seed)
-        dims, depths = (32, 64, 160, 256), (2, 2, 2, 2)
+        dims, depths = _MIT_GEOM[variant]
         heads, srs = (1, 2, 5, 8), (8, 4, 2, 1)
         cin = 3
         for i, (d, n, h, sr) in enumerate(zip(dims, depths, heads, srs)):
@@ -553,21 +560,23 @@ class _TorchMiT(nn.Module):
         return outs
 
 
-def test_mit_import_activation_parity():
-    """TorchMiTEncoder + mit_to_flax reproduce the official mit_b0's four
+@pytest.mark.parametrize("variant", ["mit_b0", "mit_b1"])
+def test_mit_import_activation_parity(variant):
+    """TorchMiTEncoder + mit_to_flax reproduce the official MiT's four
     stage outputs (strides 4..32) from the same weights."""
     import jax
     import jax.numpy as jnp
 
     from interactive_unet_tpu.models.segformer import TorchMiTEncoder
 
-    tm = _TorchMiT(seed=11)
+    dims, depths = _MIT_GEOM[variant]
+    tm = _TorchMiT(seed=11, variant=variant)
     with torch.no_grad():
         for p in tm.parameters():  # non-degenerate weights everywhere
             p.add_(torch.randn_like(p) * 0.02)
-    imported = TI.mit_to_flax(tm.state_dict())
+    imported = TI._IMPORTERS[variant](tm.state_dict())
 
-    enc = TorchMiTEncoder(dtype=jnp.float32)
+    enc = TorchMiTEncoder(dims=dims, depths=depths, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
     params = enc.init(jax.random.key(0), jnp.asarray(x))
@@ -585,25 +594,28 @@ def test_mit_import_activation_parity():
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-3)
 
 
-def test_mit_pretrained_changes_init(tmp_path, monkeypatch):
-    """pretrained=True + a local mit_b0.pt changes the initial function —
-    closes the last UI-exposed encoder without import (Segformer arch,
-    the reference trainer's default encoder family)."""
+@pytest.mark.parametrize("variant", ["mit_b0", "mit_b2"])
+def test_mit_pretrained_changes_init(tmp_path, monkeypatch, variant):
+    """pretrained=True + a local mit_bN.pt changes the initial function —
+    closes the last UI-exposed encoders without import (Segformer arch,
+    the reference trainer's default encoder family; mit_b2 exercises the
+    non-uniform depths=(3,4,6,3) mapping)."""
     import jax
     import jax.numpy as jnp
 
     from interactive_unet_tpu.models import build_model
 
-    torch.save(_TorchMiT(seed=12).state_dict(), tmp_path / "mit_b0.pt")
+    torch.save(_TorchMiT(seed=12, variant=variant).state_dict(),
+               tmp_path / f"{variant}.pt")
     monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path))
 
-    model = build_model(architecture="Segformer", encoder_name="mit_b0",
+    model = build_model(architecture="Segformer", encoder_name=variant,
                         num_classes=2, pretrained=True)
     x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 1)),
                     jnp.float32)
     params = model.init(jax.random.key(0), x)
     before = np.asarray(model.apply(params, x))
-    params2, n = TI.maybe_load_pretrained(params, "mit_b0", num_channels=1)
+    params2, n = TI.maybe_load_pretrained(params, variant, num_channels=1)
     assert n > 100
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)
