@@ -236,6 +236,12 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                     state.predicting = False
 
             loop.run_in_executor(None, run)
+        elif name == "show_predictions":
+            found = state.load_stored_predictions()
+            if not found:
+                return web.json_response(
+                    {"ok": False, "error": "no predicted volume yet — run "
+                     "Predict volumes first", "status": state.status()})
         elif name == "suggest_slice":
             score = state.suggest_next_slice()
             return web.json_response({"ok": True, "score": score,

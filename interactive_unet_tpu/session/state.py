@@ -119,6 +119,8 @@ class SessionState:
         self._image_features = None
         self.slice_generation += 1  # upload-cache token (one per slice)
         self.suggestor_model = None
+        if self.overlay == "stored_predictions":
+            self.load_stored_predictions()  # follow the slice while active
 
     def randomize(self):
         if not self.dataset:
@@ -234,6 +236,33 @@ class SessionState:
         self.annotator.overlays["model_predictions"] = colored
         self.overlay = "model_predictions"
         return colored
+
+    def load_stored_predictions(self) -> bool:
+        """Reslice ``data/predicted_volumes/<volume>.zarr`` (written by
+        predict_volumes) at the CURRENT slicer orientation and show it as
+        the ``stored_predictions`` overlay — browse full-volume inference
+        results while navigating slices without re-running the net (the
+        reference only exposes predicted volumes as files, predict.py:114).
+        Refreshed on slice change while selected (``_refresh_slice``)."""
+        from .. import storage
+
+        vd = self.dataset[self.volume_index]
+        path = (self.root / "data" / "predicted_volumes"
+                / f"{vd.filename}.zarr")
+        if not path.exists():
+            self.annotator.overlays.pop("stored_predictions", None)
+            if self.overlay == "stored_predictions":
+                self.overlay = None
+            return False
+        scores = storage.read_volume(path, level=0)  # (X,Y,Z,classes) u8
+        sl = np.asarray(vd.slicer.get_slice(
+            scores, slice_width=self.input_size, order=0))
+        ids = np.argmax(sl, axis=-1)
+        palette = np.asarray(C.COLORS, dtype=np.uint8)
+        colored = palette[1:][np.clip(ids, 0, len(palette) - 2)]
+        self.annotator.overlays["stored_predictions"] = colored
+        self.overlay = "stored_predictions"
+        return True
 
     def predict_slice_async(self):
         if self.predicting:

@@ -175,3 +175,41 @@ def test_example_download_offline_fallback(tmp_path, monkeypatch):
     make_example_data(tmp_path, size=48, try_download=True)
     assert (tmp_path / "data" / "image_volumes" /
             "example_volume.zarr").is_dir()
+
+
+def test_stored_predictions_overlay(tiny_ws):
+    """show_predictions reslices data/predicted_volumes/<vol>.zarr at the
+    current slicer orientation, palette-colors the argmax, and follows
+    slice navigation while selected."""
+    st = _mk_state(tiny_ws)
+    assert st.load_stored_predictions() is False  # nothing predicted yet
+    assert st.overlay is None
+
+    # fake predict_volumes output: per-class uint8 scores, checkerboard
+    # argmax so every plane crosses class boundaries
+    x, y, z = np.meshgrid(*[np.arange(48)] * 3, indexing="ij")
+    cls = ((x + y + z) % 2).astype(np.uint8)
+    scores = np.zeros((48, 48, 48, 2), np.uint8)
+    scores[..., 0] = np.where(cls == 0, 200, 10)
+    scores[..., 1] = np.where(cls == 1, 200, 10)
+    out = storage.open(tiny_ws / "data" / "predicted_volumes" / "tiny.zarr",
+                       mode="w")
+    arr = out.create_array(name="0", shape=scores.shape, chunks=(16,) * 3 + (2,),
+                           shards=(32,) * 3 + (2,), dtype="uint8")
+    arr[:] = scores
+
+    assert st.load_stored_predictions() is True
+    assert st.overlay == "stored_predictions"
+    colored = st.annotator.overlays["stored_predictions"]
+    assert colored.shape == (48, 48, 3)
+    pal = {tuple(C.COLORS[1]), tuple(C.COLORS[2])}
+    seen = {tuple(v) for v in colored.reshape(-1, 3)[::37]}
+    assert seen <= pal and len(seen) == 2  # both classes visible
+
+    # navigating to a new slice recomputes the overlay for that slice
+    before = colored.copy()
+    st.randomize()
+    after = st.annotator.overlays["stored_predictions"]
+    assert st.overlay == "stored_predictions"
+    assert after.shape == (48, 48, 3)
+    assert not np.array_equal(before, after)
