@@ -230,6 +230,7 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                 from ..engine import predict as pe
                 try:
                     pe.predict_volumes(input_size=state.input_size,
+                                       num_channels=state.num_channels,
                                        num_classes=state.num_classes,
                                        root=state.root)
                 finally:

@@ -145,3 +145,43 @@ def test_sample_batch_host_fallback(tmp_path, rng, monkeypatch):
     assert imgs.shape == (3, 32, 32) and imgs.dtype == np.uint8
     assert masks.shape == (3, 32, 32) and weights.shape == (3, 32, 32)
     assert len(dicts) == 3
+
+
+def test_predict_volumes_action_passes_channels(ws2ch, monkeypatch):
+    """The app's predict_volumes action forwards the session's inferred
+    num_channels — a fresh (no-checkpoint) predict on a 2-channel volume
+    must not build a 1-channel model."""
+    import asyncio
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    seen = {}
+
+    def fake_predict_volumes(**kw):
+        seen.update(kw)
+
+    from interactive_unet_tpu.engine import predict as pe
+    monkeypatch.setattr(pe, "predict_volumes", fake_predict_volumes)
+
+    async def scenario():
+        app = build_app(root=str(ws2ch), canvas_size=64)
+        app["state"].input_size = 32
+        app["state"].randomize()
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/action", json={"name": "predict_volumes"})
+            assert r.status == 200
+            for _ in range(100):  # executor thread
+                if seen:
+                    break
+                await asyncio.sleep(0.05)
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
+    assert seen["num_channels"] == 2
+    assert seen["num_classes"] == 2
+    assert seen["input_size"] == 32
