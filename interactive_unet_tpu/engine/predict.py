@@ -65,6 +65,9 @@ def _load_model_uncached(root, num_channels, num_classes):
     model_path = Path(root) / "model" / "model.ckpt"
     if model_path.is_file():
         state_dict, cfg = ckpt_io.load_checkpoint(model_path)
+        from ..models import restore_pretrained_flag
+        cfg.pretrained = restore_pretrained_flag(
+            cfg.encoder_name, cfg.pretrained, state_dict)
         model = build_model(architecture=cfg.architecture,
                             encoder_name=cfg.encoder_name,
                             num_channels=cfg.num_channels,
@@ -312,7 +315,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
     3. reference-style temp zarr accumulators (predict.py:183-199)
     """
     root = Path(root)
-    model, params, _ = _load_model(root, num_channels, num_classes)
+    model, params, cfg = _load_model(root, num_channels, num_classes)
 
     volume_files = sorted(glob.glob(str(root / "data" / "image_volumes" / "*.zarr")))
     window = blending.gaussian_3d(input_size, sigma=0.125)
@@ -328,6 +331,15 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
     for f in volume_files:
         start_time = time.time()
         volume = storage.read_volume(f, level=0)
+        vol_channels = volume.shape[3] if volume.ndim == 4 else 1
+        if vol_channels != cfg.num_channels:
+            # one model serves the whole run; a mixed-channel workspace
+            # can't silently crash the executor thread mid-sweep — record
+            # and keep predicting the volumes the model CAN handle
+            results.append({"volume": f, "error":
+                            f"volume has {vol_channels} channel(s) but the "
+                            f"model expects {cfg.num_channels}; skipped"})
+            continue
         in_shape = np.array(volume.shape[:3])
         out_shape = tuple(in_shape.tolist()) + (num_classes,)
 

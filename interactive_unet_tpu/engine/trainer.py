@@ -242,8 +242,12 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         cfg.num_classes = old_cfg.num_classes
         cfg.num_channels = old_cfg.num_channels
         # pretrained selects a structurally different encoder for importable
-        # encoders (folded-BN); the checkpoint's param tree governs
-        cfg.pretrained = old_cfg.pretrained
+        # encoders (folded-BN); the checkpoint's param tree governs — incl.
+        # pre-TorchMiT checkpoints whose recorded flag was a geometry no-op
+        from ..models import restore_pretrained_flag
+        cfg.pretrained = restore_pretrained_flag(
+            cfg.encoder_name, old_cfg.pretrained,
+            state_dict if state_dict is not None else {})
     elif cfg.pretrained:
         # only build the folded-BN encoder form when weights actually exist;
         # otherwise a norm-free random-init net would silently train badly
@@ -416,12 +420,14 @@ def warm_train_program(root="."):
                if details.is_file() else TrainConfig())
         ckpt = root / "model" / "model.ckpt"
         if ckpt.is_file():  # architecture is locked by the checkpoint
-            _, old = ckpt_io.load_checkpoint(ckpt)
+            sd, old = ckpt_io.load_checkpoint(ckpt)
             cfg.architecture = old.architecture
             cfg.encoder_name = old.encoder_name
             cfg.num_classes = old.num_classes
             cfg.num_channels = old.num_channels
-            cfg.pretrained = old.pretrained
+            from ..models import restore_pretrained_flag
+            cfg.pretrained = restore_pretrained_flag(
+                cfg.encoder_name, old.pretrained, sd)
 
         data, n_tr, n_va, cap_tr, cap_va = _load_device_dataset(
             root, cfg.num_classes, cfg.batch_size, False, 2, None, None)

@@ -20,4 +20,5 @@ from ..jaxsetup import enable_compile_cache as _ecc
 _ecc()
 del _ecc
 
-from .registry import ARCHITECTURES, ENCODERS, build_model  # noqa: F401
+from .registry import (ARCHITECTURES, ENCODERS, build_model,  # noqa: F401
+                       restore_pretrained_flag)

@@ -97,6 +97,24 @@ def build_encoder(encoder_name: str, dtype=jnp.bfloat16,
     return ENCODER_BUILDERS[encoder_name](dtype)
 
 
+def restore_pretrained_flag(encoder_name: str, pretrained: bool,
+                            state_dict) -> bool:
+    """Pretrained flag to use when REBUILDING a model for a saved param
+    tree.  Checkpoints from before the TorchMiT import recorded
+    pretrained=True while the flag was still a geometry no-op for MiT
+    encoders, so honoring it now would build TorchMiTEncoder against a
+    MiTEncoder tree and fail flax restore.  The saved tree governs: the
+    torch form has a named ``stem`` scope, the native form auto-names its
+    modules (``OverlapPatchEmbed_0``)."""
+    if not pretrained or encoder_name not in _MIT_CONFIGS:
+        return pretrained
+    try:
+        enc = state_dict["params"]["encoder"]
+    except (KeyError, TypeError):
+        return pretrained
+    return "stem" in enc
+
+
 def build_model(architecture: str = "U-Net", encoder_name: str = "cnn_m",
                 num_channels: int = 1, num_classes: int = 2,
                 dtype=jnp.bfloat16, pretrained: bool = False):

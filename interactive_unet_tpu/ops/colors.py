@@ -105,6 +105,13 @@ def categorical_to_colored(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+def class_to_colored(class_ids: np.ndarray, num_classes: int) -> np.ndarray:
+    """Integer class-id plane -> RGB uint8 using palette colors 1..N (host
+    twin of ``class_to_colored_device``; same clip convention)."""
+    pal = np.asarray(COLORS[1:num_classes + 1], dtype=np.uint8)
+    return pal[np.clip(class_ids, 0, num_classes - 1)]
+
+
 def colored_to_class(colored_mask: np.ndarray) -> np.ndarray:
     """RGB mask -> integer class-id plane (0 = background / first class off)."""
     categorical, _ = colored_to_categorical(colored_mask)

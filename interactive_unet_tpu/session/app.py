@@ -223,16 +223,23 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
         elif name == "predict_slice":
             state.predict_slice_async()
         elif name == "predict_volumes":
+            if state.predicting:  # single-flight: a second click would
+                # rmtree the store the first run is mid-write on
+                return web.json_response(
+                    {"ok": False, "error": "prediction already running",
+                     "status": state.status()})
             loop = asyncio.get_event_loop()
             state.predicting = True
+            # capture at click time: navigating volumes before the executor
+            # starts must not change which model gets built
+            kw = dict(input_size=state.input_size,
+                      num_channels=state.num_channels,
+                      num_classes=state.num_classes, root=state.root)
 
             def run():
                 from ..engine import predict as pe
                 try:
-                    pe.predict_volumes(input_size=state.input_size,
-                                       num_channels=state.num_channels,
-                                       num_classes=state.num_classes,
-                                       root=state.root)
+                    pe.predict_volumes(**kw)
                 finally:
                     state.predicting = False
 
@@ -240,9 +247,11 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
         elif name == "show_predictions":
             found = state.load_stored_predictions()
             if not found:
+                msg = ("prediction in progress — try again when it finishes"
+                       if state.predicting else
+                       "no predicted volume yet — run Predict volumes first")
                 return web.json_response(
-                    {"ok": False, "error": "no predicted volume yet — run "
-                     "Predict volumes first", "status": state.status()})
+                    {"ok": False, "error": msg, "status": state.status()})
         elif name == "suggest_slice":
             score = state.suggest_next_slice()
             return web.json_response({"ok": True, "score": score,

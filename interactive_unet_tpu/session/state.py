@@ -246,20 +246,27 @@ class SessionState:
         Refreshed on slice change while selected (``_refresh_slice``)."""
         from .. import storage
 
-        vd = self.dataset[self.volume_index]
-        path = (self.root / "data" / "predicted_volumes"
-                / f"{vd.filename}.zarr")
-        if not path.exists():
+        def unavailable():
             self.annotator.overlays.pop("stored_predictions", None)
             if self.overlay == "stored_predictions":
                 self.overlay = None
             return False
-        scores = storage.read_volume(path, level=0)  # (X,Y,Z,classes) u8
-        sl = np.asarray(vd.slicer.get_slice(
-            scores, slice_width=self.input_size, order=0))
+
+        vd = self.dataset[self.volume_index]
+        path = (self.root / "data" / "predicted_volumes"
+                / f"{vd.filename}.zarr")
+        # predict_volumes rewrites the store in place (rmtree -> create);
+        # reading mid-write sees an empty group or half-written chunks
+        if self.predicting or not path.exists():
+            return unavailable()
+        try:
+            scores = storage.read_volume(path, level=0)  # (X,Y,Z,classes) u8
+            sl = np.asarray(vd.slicer.get_slice(
+                scores, slice_width=self.input_size, order=0))
+        except Exception:  # store mid-rewrite / partial — never break nav
+            return unavailable()
         ids = np.argmax(sl, axis=-1)
-        palette = np.asarray(C.COLORS, dtype=np.uint8)
-        colored = palette[1:][np.clip(ids, 0, len(palette) - 2)]
+        colored = C.class_to_colored(ids, sl.shape[-1])
         self.annotator.overlays["stored_predictions"] = colored
         self.overlay = "stored_predictions"
         return True

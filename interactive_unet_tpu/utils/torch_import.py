@@ -285,6 +285,10 @@ def load_torch_state_dict(path):
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    if isinstance(obj, dict) and isinstance(obj.get("state_dict"), dict):
+        # mmseg/lightning-style wrapper: {"meta": ..., "state_dict": {...}}
+        # (the usual container for backbone.-prefixed SegFormer ckpts)
+        obj = obj["state_dict"]
     return obj
 
 

@@ -78,3 +78,28 @@ def test_device_accumulator_matches_host_path(tmp_path, rng):
     diff = np.abs(dev.astype(int) - host.astype(int))
     assert (diff <= 1).all()                     # f32 reassociation knife-edge
     assert (diff > 0).mean() < 1e-3
+
+
+def test_predict_volumes_skips_mismatched_channels(tmp_path):
+    """predict_volumes predicts ALL volumes with ONE model; a volume whose
+    channel count doesn't match is recorded and skipped, not a mid-sweep
+    crash in the executor thread."""
+    import numpy as np
+
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.engine.predict import predict_volumes
+
+    samples.create_directories(tmp_path)
+    vol2 = (np.random.default_rng(0).random((32, 32, 32, 2)) * 255
+            ).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol2, tmp_path / "data" / "image_volumes" / "two.zarr",
+        chunk_size=16, shard_size=32)
+
+    res = predict_volumes(input_size=32, num_channels=1, num_classes=2,
+                          root=tmp_path)
+    assert len(res) == 1
+    assert "skipped" in res[0]["error"] and "2 channel" in res[0]["error"]
+    assert not (tmp_path / "data" / "predicted_volumes" / "two.zarr" / "0"
+                ).exists()

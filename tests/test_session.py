@@ -213,3 +213,57 @@ def test_stored_predictions_overlay(tiny_ws):
     assert st.overlay == "stored_predictions"
     assert after.shape == (48, 48, 3)
     assert not np.array_equal(before, after)
+
+
+def test_stored_predictions_guarded_during_predict(tiny_ws):
+    """While predict_volumes is rewriting the store (rmtree -> create),
+    navigation and show_predictions must not read the half-written zarr or
+    crash — they degrade to 'unavailable'."""
+    st = _mk_state(tiny_ws)
+    pred_dir = tiny_ws / "data" / "predicted_volumes" / "tiny.zarr"
+    out = storage.open(pred_dir, mode="w")
+    arr = out.create_array(name="0", shape=(48, 48, 48, 2),
+                           chunks=(16,) * 3 + (2,), shards=(32,) * 3 + (2,),
+                           dtype="uint8")
+    arr[:] = 100
+    assert st.load_stored_predictions() is True
+
+    st.predicting = True  # a rewrite is in flight
+    assert st.load_stored_predictions() is False
+    assert st.overlay is None
+    st.randomize()  # navigation survives too
+    st.predicting = False
+
+    # a torn store (metadata present, array gone) degrades, never raises
+    import shutil
+    shutil.rmtree(pred_dir / "0")
+    assert st.load_stored_predictions() is False
+    assert st.overlay is None
+
+
+def test_predict_volumes_action_single_flight(tiny_ws):
+    """A second Predict-volumes click while one is running must be
+    rejected: two concurrent runs rmtree each other's output store."""
+    import asyncio
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        app["state"].predicting = True  # first run in flight
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/action", json={"name": "predict_volumes"})
+            body = await r.json()
+            assert body["ok"] is False and "already running" in body["error"]
+            r = await client.post("/action", json={"name": "show_predictions"})
+            body = await r.json()
+            assert body["ok"] is False and "in progress" in body["error"]
+        finally:
+            app["state"].predicting = False
+            await client.close()
+
+    asyncio.run(scenario())

@@ -620,3 +620,54 @@ def test_mit_pretrained_changes_init(tmp_path, monkeypatch, variant):
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)
     assert np.isfinite(after).all()
+
+
+def test_mit_legacy_checkpoint_restores(tmp_path):
+    """A checkpoint saved when pretrained=True was a geometry no-op for MiT
+    encoders (native MiTEncoder tree, flag recorded True) must still
+    restore — restore_pretrained_flag picks the form matching the tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.config import TrainConfig
+    from interactive_unet_tpu.engine import checkpoint as ckpt_io
+    from interactive_unet_tpu.engine.predict import _load_model
+    from interactive_unet_tpu.models import build_model
+
+    # pre-upgrade save: NATIVE MiT tree, but cfg records pretrained=True
+    model = build_model(architecture="Segformer", encoder_name="mit_b0",
+                        num_classes=2, pretrained=False)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    cfg = TrainConfig(architecture="Segformer", encoder_name="mit_b0",
+                      num_classes=2, num_channels=1, pretrained=True)
+    (tmp_path / "model").mkdir()
+    ckpt_io.save_checkpoint(tmp_path / "model" / "model.ckpt", params, cfg)
+
+    m2, p2, cfg2 = _load_model(tmp_path, num_channels=1, num_classes=2)
+    assert cfg2.pretrained is False  # tree governed the rebuild
+    y = np.asarray(m2.apply(p2, x))
+    assert y.shape == (1, 32, 32, 2) and np.isfinite(y).all()
+
+
+def test_mmseg_wrapped_state_dict(tmp_path, monkeypatch):
+    """mmseg-style {'meta':..., 'state_dict': {'backbone.'-prefixed ...}}
+    checkpoints unwrap and graft (the 'backbone.' stripping path was dead
+    without the wrapper unwrap)."""
+    inner = {f"backbone.{k}": v
+             for k, v in _TorchMiT(seed=7).state_dict().items()}
+    torch.save({"meta": {"note": "x"}, "state_dict": inner},
+               tmp_path / "mit_b0.pt")
+    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path))
+
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models import build_model
+
+    model = build_model(architecture="Segformer", encoder_name="mit_b0",
+                        num_classes=2, pretrained=True)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    _, n = TI.maybe_load_pretrained(params, "mit_b0", num_channels=1)
+    assert n > 100
