@@ -391,6 +391,20 @@ class SessionState:
             "volume": (self.dataset[self.volume_index].filename
                        if self.dataset else None),
             "locked": len(self.train_samples) > 0,
+            # a trained checkpoint locks the model geometry (reference
+            # app.py:192-198 disables + restores the selects); resume always
+            # takes arch/encoder/pretrained from the ckpt, so the UI must
+            # show — and stop editing — what will actually run
+            "model_locked": (self.root / "model" / "model.ckpt").is_file(),
+            "train_config": {
+                "architecture": self.train_config.architecture,
+                "encoder_name": self.train_config.encoder_name,
+                "pretrained": self.train_config.pretrained,
+                "loss_function_name": self.train_config.loss_function_name,
+                "lr": self.train_config.lr,
+                "epochs": self.train_config.epochs,
+                "batch_size": self.train_config.batch_size,
+            },
         }
 
 

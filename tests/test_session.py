@@ -267,3 +267,18 @@ def test_predict_volumes_action_single_flight(tiny_ws):
             await client.close()
 
     asyncio.run(scenario())
+
+
+def test_status_exposes_model_lock_and_config(tiny_ws):
+    """A trained checkpoint locks the model geometry: status must carry
+    model_locked + the config that will actually run so the client can
+    disable and restore the selects (reference app.py:192-198)."""
+    st = _mk_state(tiny_ws)
+    s = st.status()
+    assert s["model_locked"] is False
+    assert s["train_config"]["architecture"] == st.train_config.architecture
+    assert s["train_config"]["pretrained"] is False
+
+    (tiny_ws / "model").mkdir(exist_ok=True)
+    (tiny_ws / "model" / "model.ckpt").write_bytes(b"x")
+    assert st.status()["model_locked"] is True
