@@ -79,3 +79,26 @@ def test_train_via_subprocess(annotated_ws):
             await client.close()
 
     asyncio.run(scenario())
+
+
+def test_worker_process_death_recovers(tmp_path):
+    """If the train-worker process dies (OOM, crash), the next Train click
+    must relaunch it and get a clean reply — and a dead worker must never
+    leave the busy flag stuck (status syncs training = worker.busy)."""
+    from interactive_unet_tpu.session.app import _TrainWorker
+
+    w = _TrainWorker(cwd=str(tmp_path))  # empty ws: startup warm is a no-op
+    w._ensure_proc()
+    pid1 = w.proc.pid
+    w.proc.kill()
+    w.proc.wait()
+
+    assert w.submit({"bogus_kwarg": 1})  # relaunches, replies an error
+    for _ in range(1200):
+        if not w.busy:
+            break
+        time.sleep(0.1)
+    assert not w.busy
+    assert w.last["ok"] is False and "bogus_kwarg" in w.last["error"]
+    assert w.proc.pid != pid1 and w.proc.poll() is None  # alive for next job
+    w.proc.kill()
