@@ -112,7 +112,8 @@ def _make_fit_and_predict(model, num_classes: int, steps: int, lr: float,
 
 @functools.lru_cache(maxsize=16)
 def _compiled_program(encoder_name: str, num_channels: int, num_classes: int,
-                      steps: int, lr: float, fit_stride: int = 1):
+                      steps: int, lr: float, fit_stride: int = 1,
+                      pretrained: bool = False):
     """(model, jitted fit-and-predict) shared across ALL Suggestor instances.
 
     The session discards its Suggestor on every slice change (params must
@@ -121,7 +122,7 @@ def _compiled_program(encoder_name: str, num_channels: int, num_classes: int,
     (encoder, channels, classes) combination pays the XLA compile."""
     model = build_model(architecture="U-Net", encoder_name=encoder_name,
                         num_channels=num_channels, num_classes=num_classes,
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.bfloat16, pretrained=pretrained)
     return model, jax.jit(_make_fit_and_predict(model, num_classes, steps, lr,
                                                 fit_stride))
 
@@ -131,7 +132,8 @@ class Suggestor:
 
     def __init__(self, num_channels: int = 1, num_classes: int = 2,
                  steps: int = 30, lr: float = 1e-4, seed: int = 0,
-                 encoder_name: str = "cnn_s", fit_stride: int = 1):
+                 encoder_name: str = "cnn_s", fit_stride: int = 1,
+                 pretrained: bool = False):
         self.num_channels = num_channels
         self.num_classes = num_classes
         self.steps = steps
@@ -139,8 +141,12 @@ class Suggestor:
         self.seed = seed
         self.encoder_name = encoder_name
         self.fit_stride = fit_stride
+        # reference parity option (suggestor.py:22-25: ImageNet mobilenet_v2
+        # few-shot start): graft local torch weights into the init params
+        self.pretrained = pretrained
         self.model, self._fit_fn = _compiled_program(
-            encoder_name, num_channels, num_classes, steps, lr, fit_stride)
+            encoder_name, num_channels, num_classes, steps, lr, fit_stride,
+            pretrained)
         self.params = None
         self._init_params = None
         self._x_dev = None
@@ -190,7 +196,8 @@ class Suggestor:
             self.__init__(num_channels=x.shape[-1], num_classes=num_classes,
                           steps=self.steps, lr=self.lr, seed=self.seed,
                           encoder_name=self.encoder_name,
-                          fit_stride=self.fit_stride)
+                          fit_stride=self.fit_stride,
+                          pretrained=self.pretrained)
             self.x_uploads = uploads
 
         # The slice image is constant across strokes: upload once per slice.
@@ -209,6 +216,16 @@ class Suggestor:
         if self._init_params is None:
             self._key, k_init = jax.random.split(self._key)
             self._init_params = self.model.init(k_init, self._x_dev)
+            if self.pretrained:
+                from ..utils.torch_import import maybe_load_pretrained
+                self._init_params, n = maybe_load_pretrained(
+                    self._init_params, self.encoder_name,
+                    num_channels=x.shape[-1])
+                if n == 0:
+                    raise RuntimeError(
+                        f"Suggestor(pretrained=True) but no local torch "
+                        f"checkpoint for {self.encoder_name!r} (see "
+                        f"utils/torch_import.py)")
 
         self._key, k_fit = jax.random.split(self._key)
         params = self.params if self.params is not None else self._init_params

@@ -295,9 +295,20 @@ class SessionState:
         def run():
             try:
                 if self.suggestor_model is None:
+                    # IUNET_SUGGESTOR_ENCODER selects the few-shot encoder
+                    # (default cnn_s, the MXU-friendly redesign); pretrained
+                    # weights graft in automatically when a local torch ckpt
+                    # exists for it (reference suggestor.py:22-25 starts
+                    # from ImageNet mobilenet_v2)
+                    from ..models.registry import IMPORTABLE_ENCODERS
+                    from ..utils.torch_import import find_checkpoint
+                    enc = os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s")
+                    pre = (enc in IMPORTABLE_ENCODERS
+                           and find_checkpoint(enc) is not None)
                     self.suggestor_model = Suggestor(
                         num_channels=self.num_channels, num_classes=2,
-                        fit_stride=self.suggestor_fit_stride)
+                        fit_stride=self.suggestor_fit_stride,
+                        encoder_name=enc, pretrained=pre)
                 suggestion, model = self.suggestor_model.make_suggestions(
                     self.image_features, self.annotator.mask,
                     slice_token=self.slice_generation)

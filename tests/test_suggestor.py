@@ -110,3 +110,35 @@ def test_fit_stride_quality(rng):
     left_ok = (suggestion[:, : s // 2 - 4] == C.COLORS[1]).all(-1).mean()
     right_ok = (suggestion[:, s // 2 + 4:] == C.COLORS[2]).all(-1).mean()
     assert left_ok > 0.7 and right_ok > 0.7, (left_ok, right_ok)
+
+
+def test_pretrained_suggestor_grafts(tmp_path, monkeypatch, rng):
+    """Suggestor(pretrained=True, mobilenet_v2) starts the 30-step fit from
+    grafted torch weights (reference suggestor.py:22-25 uses ImageNet
+    mobilenet_v2) and still produces a valid 2-class suggestion."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import torch
+    from test_torch_import import _tv_features
+
+    torch.save(_tv_features(seed=4).state_dict(), tmp_path / "mobilenet_v2.pt")
+    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path))
+
+    mask = np.zeros((32, 32, 3), np.uint8)
+    mask[2:8, 2:30] = C.COLORS[1]
+    mask[24:30, 2:30] = C.COLORS[2]
+    img = np.zeros((32, 32), np.float32)
+    img[16:] = 1.0
+
+    sug = Suggestor(num_channels=1, num_classes=2,
+                    encoder_name="mobilenet_v2", pretrained=True)
+    suggestion, _ = sug.make_suggestions(img, mask)
+    assert suggestion.shape == (32, 32, 3)
+    assert suggestion.dtype == np.uint8
+
+    # pretrained=True with no weights on disk fails loudly, not silently
+    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path / "empty"))
+    sug2 = Suggestor(num_channels=1, num_classes=2,
+                     encoder_name="resnet18", pretrained=True)
+    with pytest.raises(RuntimeError, match="no local torch checkpoint"):
+        sug2.make_suggestions(img, mask)
