@@ -282,3 +282,33 @@ def test_status_exposes_model_lock_and_config(tiny_ws):
     (tiny_ws / "model").mkdir(exist_ok=True)
     (tiny_ws / "model" / "model.ckpt").write_bytes(b"x")
     assert st.status()["model_locked"] is True
+
+
+def test_capture_overlay_from_stored_predictions(tiny_ws):
+    """Ctrl+click capture works against the stored-predictions overlay:
+    painting in capture mode transfers the overlay's colors into the mask
+    (reference annotator.py capture mode, generalized to any overlay)."""
+    st = _mk_state(tiny_ws)
+    x, y, z = np.meshgrid(*[np.arange(48)] * 3, indexing="ij")
+    cls = ((x + y + z) % 2).astype(np.uint8)
+    scores = np.zeros((48, 48, 48, 2), np.uint8)
+    scores[..., 0] = np.where(cls == 0, 200, 10)
+    scores[..., 1] = np.where(cls == 1, 200, 10)
+    out = storage.open(tiny_ws / "data" / "predicted_volumes" / "tiny.zarr",
+                       mode="w")
+    arr = out.create_array(name="0", shape=scores.shape,
+                           chunks=(16,) * 3 + (2,), shards=(32,) * 3 + (2,),
+                           dtype="uint8")
+    arr[:] = scores
+    assert st.load_stored_predictions() is True
+
+    assert st.annotator.mask.sum() == 0
+    st.brush_size = 20
+    st.stroke([(20, 20), (40, 40)], mode="capture_overlay",
+              overlay="stored_predictions")
+    mask = st.annotator.mask
+    assert mask.sum() > 0
+    # captured pixels carry palette colors (both classes under the brush)
+    seen = {tuple(v) for v in mask.reshape(-1, 3)} - {(0, 0, 0)}
+    assert seen <= {tuple(C.COLORS[1]), tuple(C.COLORS[2])}
+    assert len(seen) == 2
