@@ -285,6 +285,23 @@ class SessionState:
         threading.Thread(target=run, daemon=True).start()
         return True
 
+    def _make_suggestor(self, num_channels: int) -> Suggestor:
+        """IUNET_SUGGESTOR_ENCODER selects the few-shot encoder (default
+        cnn_s, the MXU-friendly redesign); pretrained weights graft in
+        automatically when a local torch ckpt exists for it (reference
+        suggestor.py:22-25 starts from ImageNet mobilenet_v2).  Shared by
+        run_suggestor and warmup so the warmed program is the one the first
+        stroke actually uses."""
+        from ..models.registry import IMPORTABLE_ENCODERS
+        from ..utils.torch_import import find_checkpoint
+
+        enc = os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s")
+        pre = (enc in IMPORTABLE_ENCODERS
+               and find_checkpoint(enc) is not None)
+        return Suggestor(num_channels=num_channels, num_classes=2,
+                         fit_stride=self.suggestor_fit_stride,
+                         encoder_name=enc, pretrained=pre)
+
     def run_suggestor(self):
         """Per-stroke few-shot suggestion (single-flight, reference
         app.py:753-778)."""
@@ -295,20 +312,8 @@ class SessionState:
         def run():
             try:
                 if self.suggestor_model is None:
-                    # IUNET_SUGGESTOR_ENCODER selects the few-shot encoder
-                    # (default cnn_s, the MXU-friendly redesign); pretrained
-                    # weights graft in automatically when a local torch ckpt
-                    # exists for it (reference suggestor.py:22-25 starts
-                    # from ImageNet mobilenet_v2)
-                    from ..models.registry import IMPORTABLE_ENCODERS
-                    from ..utils.torch_import import find_checkpoint
-                    enc = os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s")
-                    pre = (enc in IMPORTABLE_ENCODERS
-                           and find_checkpoint(enc) is not None)
-                    self.suggestor_model = Suggestor(
-                        num_channels=self.num_channels, num_classes=2,
-                        fit_stride=self.suggestor_fit_stride,
-                        encoder_name=enc, pretrained=pre)
+                    self.suggestor_model = self._make_suggestor(
+                        self.num_channels)
                 suggestion, model = self.suggestor_model.make_suggestions(
                     self.image_features, self.annotator.mask,
                     slice_token=self.slice_generation)
@@ -370,7 +375,7 @@ class SessionState:
                 mask = np.zeros((self.input_size, self.input_size, 3), np.uint8)
                 mask[0, 0] = C.COLORS[1]
                 mask[0, 1] = C.COLORS[2]
-                sug = Suggestor(num_channels=1, num_classes=2)
+                sug = self._make_suggestor(num_channels=1)
                 sug.make_suggestions(img, mask)
                 self.suggestor_model = sug
                 predict_engine.predict_slice(

@@ -312,3 +312,14 @@ def test_capture_overlay_from_stored_predictions(tiny_ws):
     seen = {tuple(v) for v in mask.reshape(-1, 3)} - {(0, 0, 0)}
     assert seen <= {tuple(C.COLORS[1]), tuple(C.COLORS[2])}
     assert len(seen) == 2
+
+
+def test_suggestor_encoder_env_respected_after_warmup(tiny_ws, monkeypatch):
+    """The warmed suggestor must be the one the first stroke uses: with
+    IUNET_SUGGESTOR_ENCODER set, both warmup and run_suggestor build the
+    same encoder (a warmup-compiled default would otherwise shadow it)."""
+    monkeypatch.setenv("IUNET_SUGGESTOR_ENCODER", "cnn_m")
+    st = _mk_state(tiny_ws)
+    sug = st._make_suggestor(num_channels=1)
+    assert sug.encoder_name == "cnn_m"
+    assert sug.pretrained is False  # cnn_m has no torch import
