@@ -215,17 +215,19 @@ class Suggestor:
             self._init_params = None
         if self._init_params is None:
             self._key, k_init = jax.random.split(self._key)
-            self._init_params = self.model.init(k_init, self._x_dev)
+            init_params = self.model.init(k_init, self._x_dev)
             if self.pretrained:
                 from ..utils.torch_import import maybe_load_pretrained
-                self._init_params, n = maybe_load_pretrained(
-                    self._init_params, self.encoder_name,
-                    num_channels=x.shape[-1])
+                init_params, n = maybe_load_pretrained(
+                    init_params, self.encoder_name)
                 if n == 0:
+                    # raise BEFORE caching: a retry must fail loudly again,
+                    # not silently fit from the ungrafted random init
                     raise RuntimeError(
                         f"Suggestor(pretrained=True) but no local torch "
                         f"checkpoint for {self.encoder_name!r} (see "
                         f"utils/torch_import.py)")
+            self._init_params = init_params
 
         self._key, k_fit = jax.random.split(self._key)
         params = self.params if self.params is not None else self._init_params

@@ -317,8 +317,7 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
             # graft local torch ImageNet weights when available (reference
             # unet.py:28-31 capability; utils/torch_import.py for contract)
             from ..utils.torch_import import maybe_load_pretrained
-            params, n_grafted = maybe_load_pretrained(
-                params, cfg.encoder_name, num_channels=cfg.num_channels)
+            params, n_grafted = maybe_load_pretrained(params, cfg.encoder_name)
             if n_grafted:
                 # stderr: the train-worker protocol owns stdout (session/app)
                 print(f"pretrained: grafted {n_grafted} arrays into "

@@ -272,9 +272,18 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
             values = {k: v for k, v in a.items()
                       if k not in ("name", "values")}
             values.update(a.get("values", {}))
+            model_locked = (state.training
+                            or (state.root / "model" / "model.ckpt").is_file())
             for k, v in values.items():
                 if k in ("num_classes", "input_size") and state.train_samples:
                     continue  # locked once samples exist (app.py:442-443)
+                if (k in ("architecture", "encoder_name", "pretrained")
+                        and model_locked):
+                    # resume takes these from the checkpoint; accepting the
+                    # edit would make the displayed/persisted config diverge
+                    # from what actually trains (also guards the window
+                    # while the FIRST run is still writing its ckpt)
+                    continue
                 if k == "num_classes":
                     state.num_classes = int(v)
                 elif k == "input_size":

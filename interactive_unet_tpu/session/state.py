@@ -292,10 +292,18 @@ class SessionState:
         suggestor.py:22-25 starts from ImageNet mobilenet_v2).  Shared by
         run_suggestor and warmup so the warmed program is the one the first
         stroke actually uses."""
-        from ..models.registry import IMPORTABLE_ENCODERS
+        import sys
+
+        from ..models.registry import ENCODERS, IMPORTABLE_ENCODERS
         from ..utils.torch_import import find_checkpoint
 
         enc = os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s")
+        if enc not in ENCODERS:
+            # this runs in the per-stroke daemon thread — a raise here would
+            # just kill suggestions silently; warn and fall back instead
+            print(f"IUNET_SUGGESTOR_ENCODER={enc!r} is not a known encoder "
+                  f"({sorted(ENCODERS)}); using cnn_s", file=sys.stderr)
+            enc = "cnn_s"
         pre = (enc in IMPORTABLE_ENCODERS
                and find_checkpoint(enc) is not None)
         return Suggestor(num_channels=num_channels, num_classes=2,

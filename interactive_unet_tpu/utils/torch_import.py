@@ -292,7 +292,7 @@ def load_torch_state_dict(path):
     return obj
 
 
-def graft_encoder_params(params, encoder_params: dict, num_channels: int):
+def graft_encoder_params(params, encoder_params: dict):
     """Overlay imported encoder weights onto a full model pytree (the
     encoder submodule scope is named 'encoder')."""
     import jax
@@ -323,8 +323,7 @@ def graft_encoder_params(params, encoder_params: dict, num_channels: int):
     return params, count
 
 
-def maybe_load_pretrained(params, encoder_name: str, num_channels: int = 1,
-                          search_dirs=None):
+def maybe_load_pretrained(params, encoder_name: str, search_dirs=None):
     """Graft local torch pretrained weights into ``params`` if available.
     Returns (params, n_arrays_grafted); (params, 0) when no checkpoint or no
     importer exists for this encoder."""
@@ -334,4 +333,4 @@ def maybe_load_pretrained(params, encoder_name: str, num_channels: int = 1,
     if ckpt is None:
         return params, 0
     encoder_params = _IMPORTERS[encoder_name](load_torch_state_dict(ckpt))
-    return graft_encoder_params(params, encoder_params, num_channels)
+    return graft_encoder_params(params, encoder_params)

@@ -323,3 +323,40 @@ def test_suggestor_encoder_env_respected_after_warmup(tiny_ws, monkeypatch):
     sug = st._make_suggestor(num_channels=1)
     assert sug.encoder_name == "cnn_m"
     assert sug.pretrained is False  # cnn_m has no torch import
+
+
+def test_set_action_rejects_geometry_edits_once_locked(tiny_ws):
+    """arch/encoder/pretrained edits are rejected server-side once a
+    checkpoint exists (resume takes them from the ckpt; accepting would
+    persist a config that never runs)."""
+    import asyncio
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        st = app["state"]
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/action", json={
+                "name": "set", "values": {"encoder_name": "resnet50"}})
+            assert (await r.json())["ok"]
+            assert st.train_config.encoder_name == "resnet50"  # unlocked
+
+            (tiny_ws / "model").mkdir(exist_ok=True)
+            (tiny_ws / "model" / "model.ckpt").write_bytes(b"x")
+            r = await client.post("/action", json={
+                "name": "set", "values": {"encoder_name": "cnn_l",
+                                          "pretrained": True,
+                                          "epochs": 7}})
+            assert (await r.json())["ok"]
+            assert st.train_config.encoder_name == "resnet50"  # rejected
+            assert st.train_config.pretrained is False         # rejected
+            assert st.train_config.epochs == 7                 # still live
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())

@@ -136,9 +136,17 @@ def test_pretrained_suggestor_grafts(tmp_path, monkeypatch, rng):
     assert suggestion.shape == (32, 32, 3)
     assert suggestion.dtype == np.uint8
 
-    # pretrained=True with no weights on disk fails loudly, not silently
-    monkeypatch.setenv("IUNET_PRETRAINED_DIR", str(tmp_path / "empty"))
+    # pretrained=True with no weights on disk fails loudly, not silently —
+    # disable the ~/.cache fallback dir too (the env var only PREPENDS to
+    # default_search_dirs, so a populated user cache would mask the error)
+    from interactive_unet_tpu.utils import torch_import as TI
+    monkeypatch.setattr(TI, "default_search_dirs",
+                        lambda: [tmp_path / "empty"])
     sug2 = Suggestor(num_channels=1, num_classes=2,
                      encoder_name="resnet18", pretrained=True)
+    with pytest.raises(RuntimeError, match="no local torch checkpoint"):
+        sug2.make_suggestions(img, mask)
+    # and it keeps failing loudly on retry (the ungrafted init params must
+    # not be cached by the failed attempt)
     with pytest.raises(RuntimeError, match="no local torch checkpoint"):
         sug2.make_suggestions(img, mask)

@@ -118,7 +118,7 @@ def test_mobilenet_import_activation_parity():
     params = enc.init(jax.random.key(0), jnp.asarray(x))
 
     wrapped = {"params": {"encoder": params["params"]}}
-    wrapped, n = TI.graft_encoder_params(wrapped, imported, num_channels=3)
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
     assert n >= 100  # every conv kernel + folded bias transferred
     params = {"params": wrapped["params"]["encoder"]}
 
@@ -259,7 +259,7 @@ def test_resnet_import_activation_parity(name, layers):
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
     params = enc.init(jax.random.key(0), jnp.asarray(x))
     wrapped = {"params": {"encoder": params["params"]}}
-    wrapped, n = TI.graft_encoder_params(wrapped, imported, num_channels=3)
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
     assert n >= 40
     params = {"params": wrapped["params"]["encoder"]}
 
@@ -364,7 +364,7 @@ def test_efficientnet_lite_import_activation_parity(variant):
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
     params = enc.init(jax.random.key(0), jnp.asarray(x))
     wrapped = {"params": {"encoder": params["params"]}}
-    wrapped, n = TI.graft_encoder_params(wrapped, imported, num_channels=3)
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
     assert n >= 90
     params = {"params": wrapped["params"]["encoder"]}
 
@@ -400,7 +400,7 @@ def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
                     jnp.float32)
     params = model.init(jax.random.key(0), x)
     before = np.asarray(model.apply(params, x))
-    params2, n = TI.maybe_load_pretrained(params, encoder, num_channels=1)
+    params2, n = TI.maybe_load_pretrained(params, encoder)
     assert n >= 40
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)
@@ -426,8 +426,7 @@ def test_pretrained_end_to_end_graft(tmp_path, monkeypatch):
     params = model.init(jax.random.key(0), x)
     before = np.asarray(model.apply(params, x))
 
-    params2, n = TI.maybe_load_pretrained(params, "mobilenet_v2",
-                                          num_channels=1)
+    params2, n = TI.maybe_load_pretrained(params, "mobilenet_v2")
     assert n >= 100
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)  # pretrained weights change init
@@ -581,7 +580,7 @@ def test_mit_import_activation_parity(variant):
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
     params = enc.init(jax.random.key(0), jnp.asarray(x))
     params, n = TI.graft_encoder_params(
-        {"params": {"encoder": params["params"]}}, imported, num_channels=3)
+        {"params": {"encoder": params["params"]}}, imported)
     assert n > 100
     feats = enc.apply({"params": params["params"]["encoder"]},
                       jnp.asarray(x))
@@ -615,7 +614,7 @@ def test_mit_pretrained_changes_init(tmp_path, monkeypatch, variant):
                     jnp.float32)
     params = model.init(jax.random.key(0), x)
     before = np.asarray(model.apply(params, x))
-    params2, n = TI.maybe_load_pretrained(params, variant, num_channels=1)
+    params2, n = TI.maybe_load_pretrained(params, variant)
     assert n > 100
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)
@@ -669,5 +668,5 @@ def test_mmseg_wrapped_state_dict(tmp_path, monkeypatch):
                         num_classes=2, pretrained=True)
     x = jnp.zeros((1, 32, 32, 1), jnp.float32)
     params = model.init(jax.random.key(0), x)
-    _, n = TI.maybe_load_pretrained(params, "mit_b0", num_channels=1)
+    _, n = TI.maybe_load_pretrained(params, "mit_b0")
     assert n > 100
