@@ -13,11 +13,20 @@ Simulates a full annotation session against a synthetic phantom:
 Run:  python examples/closed_loop.py [workspace_dir]
 """
 
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# honor JAX_PLATFORMS even where sitecustomize pins a platform plugin —
+# this jax build ignores the env var unless applied via jax.config BEFORE
+# the first device use (same handling as __main__.py / tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
