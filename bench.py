@@ -487,6 +487,23 @@ def bench_inference():
 
 def main():
     which = sys.argv[1:] or ["slice", "retrain", "suggestor", "inference"]
+    # sitecustomize pins the axon plugin and this jax build ignores the env
+    # var; mirror it via jax.config (no backend init yet) so local
+    # JAX_PLATFORMS=cpu runs really use the CPU backend
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        import jax
+        jax.config.update("jax_platforms", p)
+    if which == ["probe"]:
+        # diagnostic mode: bounded backend probe + ceiling, one JSON line —
+        # distinguishes "tunnel dead" from "device busy" without running
+        # any workload (the 2026-08-17 outage class)
+        if not wait_for_backend():
+            emit("device_unavailable", 0, "flag", 0)
+            return
+        c = probe_device_ceiling()
+        emit("device_ceiling", c, "TFLOP/s", 1.0)
+        return
     if not wait_for_backend():
         # still emit the one JSON line the driver expects, flagged so a
         # dead-tunnel window is distinguishable from a slow build
