@@ -173,6 +173,8 @@ class TorchResNetEncoder(nn.Module):
 
     layers: Sequence[int] = (2, 2, 2, 2)     # resnet18; (3,4,6,3) = 34/50
     block: str = "basic"                     # "basic" | "bottleneck"
+    groups: int = 1                          # 32 for resnext
+    base_width: int = 64                     # 4/8 resnext, 128 wide_resnet
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "none"
 
@@ -184,16 +186,22 @@ class TorchResNetEncoder(nn.Module):
         feats.append(x)                                       # stride 2
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
-        for stage, (blocks, width) in enumerate(
+        for stage, (blocks, planes) in enumerate(
                 zip(self.layers, (64, 128, 256, 512))):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 if self.block == "bottleneck":
-                    x = TorchBottleneckBlock(width, stride=stride,
+                    # torchvision Bottleneck width rule (resnet.py):
+                    # int(planes * base_width/64) * groups; expansion x4
+                    # on planes, NOT on width
+                    width = int(planes * self.base_width / 64) * self.groups
+                    x = TorchBottleneckBlock(width, out_features=planes * 4,
+                                             stride=stride,
+                                             groups=self.groups,
                                              dtype=self.dtype,
                                              norm=self.norm)(x)
                 else:
-                    x = TorchBasicBlock(width, stride=stride,
+                    x = TorchBasicBlock(planes, stride=stride,
                                         dtype=self.dtype, norm=self.norm)(x)
             feats.append(x)                   # strides 4, 8, 16, 32
         return feats
@@ -226,22 +234,26 @@ class TorchBasicBlock(nn.Module):
 
 
 class TorchBottleneckBlock(nn.Module):
-    """torchvision Bottleneck (resnet50/101): 1x1 reduce -> 3x3 (stride
-    here, torchvision's placement) -> 1x1 expand x4; 1x1 downsample
+    """torchvision Bottleneck (resnet50/101, resnext, wide_resnet): 1x1
+    reduce to ``width`` -> 3x3 grouped (stride here, torchvision's
+    placement) -> 1x1 expand to ``out_features`` (planes*4); 1x1 downsample
     shortcut on shape change."""
 
     width: int
+    out_features: int = 0        # 0 -> width * 4 (plain resnet50 rule)
     stride: int = 1
+    groups: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        c_out = self.width * 4
+        c_out = self.out_features or self.width * 4
         c_in = x.shape[-1]
         h = ConvNormAct(self.width, kernel=1, dtype=self.dtype,
                         norm=self.norm)(x)                    # conv1+bn1+relu
         h = ConvNormAct(self.width, stride=self.stride, dtype=self.dtype,
+                        groups=self.groups,
                         norm=self.norm)(h)                    # conv2+bn2+relu
         h = ConvNormAct(c_out, kernel=1, act=False, dtype=self.dtype,
                         norm=self.norm)(h)                    # conv3+bn3
@@ -323,11 +335,148 @@ class TimmEfficientNetLiteEncoder(nn.Module):
         return feats
 
 
+class _Affine(nn.Module):
+    """Eval-mode BatchNorm as a per-channel affine (scale, bias).
+
+    DenseNet's BN sits BEFORE its convs (pre-activation), so it cannot fold
+    into a neighboring conv across the intervening ReLU the way the other
+    importers do; the importer maps BN to this module directly
+    (scale = gamma/sqrt(var+eps), bias = beta - mean*scale)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = int(x.shape[-1])
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+class TorchDenseLayer(nn.Module):
+    """torchvision _DenseLayer: norm1-relu-conv1x1(4g)-norm2-relu-conv3x3(g),
+    output concatenated onto the input (all convs bias-free, like torch)."""
+
+    growth: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    def _n(self, x):
+        if self.norm == "none":
+            return _Affine()(x)
+        return nn.GroupNorm(num_groups=_dn_groups(int(x.shape[-1])),
+                            dtype=self.dtype)(x)
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(self._n(x))
+        h = nn.Conv(4 * self.growth, (1, 1), use_bias=False,
+                    dtype=self.dtype)(h)
+        h = nn.relu(self._n(h))
+        h = nn.Conv(self.growth, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(h)
+        return jnp.concatenate([x, h], axis=-1)
+
+
+# densenet variants: (block_config, growth, num_init)
+_DENSENET_FORMS = {
+    "densenet121": ((6, 12, 24, 16), 32, 64),
+    "densenet161": ((6, 12, 36, 24), 48, 96),
+    "densenet169": ((6, 12, 32, 32), 32, 64),
+    "densenet201": ((6, 12, 48, 32), 32, 64),
+}
+
+
+class TorchDenseNetEncoder(nn.Module):
+    """torchvision ``densenet121/161/169/201`` ``features`` geometry.
+    Pyramid at strides (2, 4, 8, 16, 32): stem (conv0+norm0+relu), each
+    transition's norm+relu output (pre 1x1-conv/pool), and norm5+relu —
+    channels (64, 256, 512, 1024, 1024) for densenet121, matching smp's
+    DenseNetEncoder cut."""
+
+    variant: str = "densenet121"
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    def _n(self, x):
+        if self.norm == "none":
+            return _Affine()(x)
+        return nn.GroupNorm(num_groups=_dn_groups(int(x.shape[-1])),
+                            dtype=self.dtype)(x)
+
+    @nn.compact
+    def __call__(self, x):
+        block_config, growth, num_init = _DENSENET_FORMS[self.variant]
+        feats = []
+        x = nn.Conv(num_init, (7, 7), strides=(2, 2), padding=3,
+                    use_bias=False, dtype=self.dtype)(x)       # conv0
+        x = nn.relu(self._n(x))                                # norm0
+        feats.append(x)                                        # stride 2
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for i, n in enumerate(block_config):
+            for _ in range(n):
+                x = TorchDenseLayer(growth, dtype=self.dtype,
+                                    norm=self.norm)(x)
+            x = nn.relu(self._n(x))        # transition norm / final norm5
+            feats.append(x)                # strides 4, 8, 16, 32
+            if i < len(block_config) - 1:
+                x = nn.Conv(int(x.shape[-1]) // 2, (1, 1), use_bias=False,
+                            dtype=self.dtype)(x)               # transition conv
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+def _dn_groups(c: int) -> int:
+    from .layers import _num_groups
+    return _num_groups(c)
+
+
+# torchvision VGG cfgs: convs per stage; stage channels are fixed at
+# (64, 128, 256, 512, 512) with a 2x2 maxpool between stages.
+_VGG_CFGS = {
+    "vgg11": (1, 1, 2, 2, 2),
+    "vgg13": (2, 2, 2, 2, 2),
+    "vgg16": (2, 2, 3, 3, 3),
+    "vgg19": (2, 2, 4, 4, 4),
+}
+_VGG_CHANNELS = (64, 128, 256, 512, 512)
+
+
+class TorchVGGEncoder(nn.Module):
+    """torchvision ``vgg11/13/16/19`` ``features`` geometry (plain or _bn —
+    both fold to the same biased-conv function with norm="none").
+
+    Pyramid at strides (2, 4, 8, 16, 32): stage-2..5 conv outputs plus the
+    final maxpool (torchvision's features end with the 5th pool, so the
+    stride-32 feature is the pooled stage-5 output, channels 512).  The
+    stride-1 stage-1 convs still run — their weights shape what stage 2
+    sees — but full-res 3x3x64 convs are lane-starved on the MXU, so VGG
+    is the slowest family on TPU by design; prefer the resnet/efficientnet
+    ladders when speed matters."""
+
+    variant: str = "vgg16"
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for stage, (reps, c) in enumerate(
+                zip(_VGG_CFGS[self.variant], _VGG_CHANNELS)):
+            if stage > 0:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            for _ in range(reps):
+                x = ConvNormAct(c, dtype=self.dtype, norm=self.norm)(x)
+            if stage > 0:
+                feats.append(x)               # strides 2, 4, 8, 16
+        feats.append(nn.max_pool(x, (2, 2), strides=(2, 2)))  # stride 32
+        return feats
+
+
 # Selectable encoder family.  The reference exposes smp's ~700 encoder names
 # (app.py:182); SURVEY §7.6 scopes parity to the CAPABILITY — a selectable
 # architecture/encoder size ladder — implemented as this native family
-# (s/m/l CNN ladders, ResNet-18/34-ish, MobileNetV2, EfficientNet-lite
-# sizes).  This is a deliberate scope cut, documented in README/ARCHITECTURE.
+# (s/m/l CNN ladders, ResNet/ResNeXt/wide, VGG, MobileNetV2,
+# EfficientNet-lite sizes, MiT b0-b5).  This is a deliberate scope cut,
+# documented in README/ARCHITECTURE.
 ENCODER_BUILDERS = {
     "cnn_s": lambda dtype: CNNEncoder(widths=(16, 32, 64, 128, 256), dtype=dtype),
     "cnn_m": lambda dtype: CNNEncoder(widths=(32, 64, 128, 256, 512), dtype=dtype),
@@ -336,6 +485,31 @@ ENCODER_BUILDERS = {
     "resnet34": lambda dtype: ResNetEncoder(blocks=3, dtype=dtype),
     "resnet50": lambda dtype: TorchResNetEncoder(
         layers=(3, 4, 6, 3), block="bottleneck", norm="group", dtype=dtype),
+    "resnet101": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 23, 3), block="bottleneck", norm="group", dtype=dtype),
+    "resnet152": lambda dtype: TorchResNetEncoder(
+        layers=(3, 8, 36, 3), block="bottleneck", norm="group", dtype=dtype),
+    "resnext50_32x4d": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 6, 3), block="bottleneck", groups=32, base_width=4,
+        norm="group", dtype=dtype),
+    "resnext101_32x8d": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 23, 3), block="bottleneck", groups=32, base_width=8,
+        norm="group", dtype=dtype),
+    "wide_resnet50_2": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 6, 3), block="bottleneck", base_width=128,
+        norm="group", dtype=dtype),
+    "vgg11": lambda dtype: TorchVGGEncoder(variant="vgg11", dtype=dtype),
+    "vgg13": lambda dtype: TorchVGGEncoder(variant="vgg13", dtype=dtype),
+    "vgg16": lambda dtype: TorchVGGEncoder(variant="vgg16", dtype=dtype),
+    "vgg19": lambda dtype: TorchVGGEncoder(variant="vgg19", dtype=dtype),
+    "densenet121": lambda dtype: TorchDenseNetEncoder(
+        variant="densenet121", norm="group", dtype=dtype),
+    "densenet161": lambda dtype: TorchDenseNetEncoder(
+        variant="densenet161", norm="group", dtype=dtype),
+    "densenet169": lambda dtype: TorchDenseNetEncoder(
+        variant="densenet169", norm="group", dtype=dtype),
+    "densenet201": lambda dtype: TorchDenseNetEncoder(
+        variant="densenet201", norm="group", dtype=dtype),
     "mobilenet_v2": lambda dtype: MobileNetV2Encoder(dtype=dtype),
     "efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
     "efficientnet_lite1": lambda dtype: EfficientNetLiteEncoder(
@@ -345,4 +519,10 @@ ENCODER_BUILDERS = {
     # aliases for reference encoder names so saved configs keep working
     "resnet": lambda dtype: ResNetEncoder(blocks=2, dtype=dtype),
     "timm-tf_efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
+    # smp's _bn vgg names: identical geometry here (fresh init normalizes
+    # with GroupNorm either way; pretrained import folds the BN away)
+    "vgg11_bn": lambda dtype: TorchVGGEncoder(variant="vgg11", dtype=dtype),
+    "vgg13_bn": lambda dtype: TorchVGGEncoder(variant="vgg13", dtype=dtype),
+    "vgg16_bn": lambda dtype: TorchVGGEncoder(variant="vgg16", dtype=dtype),
+    "vgg19_bn": lambda dtype: TorchVGGEncoder(variant="vgg19", dtype=dtype),
 }

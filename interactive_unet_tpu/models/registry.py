@@ -24,6 +24,9 @@ _MIT_CONFIGS = {
     "mit_b0": dict(dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
     "mit_b1": dict(dims=(64, 128, 320, 512), depths=(2, 2, 2, 2)),
     "mit_b2": dict(dims=(64, 128, 320, 512), depths=(3, 4, 6, 3)),
+    "mit_b3": dict(dims=(64, 128, 320, 512), depths=(3, 4, 18, 3)),
+    "mit_b4": dict(dims=(64, 128, 320, 512), depths=(3, 8, 27, 3)),
+    "mit_b5": dict(dims=(64, 128, 320, 512), depths=(3, 6, 40, 3)),
 }
 
 ENCODERS = sorted(set(ENCODER_BUILDERS) | set(_MIT_CONFIGS))
@@ -48,10 +51,32 @@ _BUILDERS = {
 # UI-exposed non-native encoder is importable (VERDICT r2 #4: reference
 # unet.py:28-31 offers ImageNet weights for every encoder).
 IMPORTABLE_ENCODERS = {"mobilenet_v2", "resnet18", "resnet34", "resnet",
-                       "resnet50", "efficientnet_lite0",
+                       "resnet50", "resnet101", "resnet152",
+                       "resnext50_32x4d", "resnext101_32x8d",
+                       "wide_resnet50_2",
+                       "vgg11", "vgg13", "vgg16", "vgg19",
+                       "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn",
+                       "densenet121", "densenet161", "densenet169",
+                       "densenet201",
+                       "efficientnet_lite0",
                        "efficientnet_lite1", "efficientnet_lite2",
                        "timm-tf_efficientnet_lite0", "mit_b0", "mit_b1",
-                       "mit_b2"}
+                       "mit_b2", "mit_b3", "mit_b4", "mit_b5"}
+
+
+# torchvision resnet-family constructor args keyed by encoder name:
+# (layers, block, groups, base_width)
+_RESNET_FORMS = {
+    "resnet18": ((2, 2, 2, 2), "basic", 1, 64),
+    "resnet": ((2, 2, 2, 2), "basic", 1, 64),
+    "resnet34": ((3, 4, 6, 3), "basic", 1, 64),
+    "resnet50": ((3, 4, 6, 3), "bottleneck", 1, 64),
+    "resnet101": ((3, 4, 23, 3), "bottleneck", 1, 64),
+    "resnet152": ((3, 8, 36, 3), "bottleneck", 1, 64),
+    "resnext50_32x4d": ((3, 4, 6, 3), "bottleneck", 32, 4),
+    "resnext101_32x8d": ((3, 4, 23, 3), "bottleneck", 32, 8),
+    "wide_resnet50_2": ((3, 4, 6, 3), "bottleneck", 1, 128),
+}
 
 
 def _pretrained_form(encoder_name: str, dtype):
@@ -59,19 +84,22 @@ def _pretrained_form(encoder_name: str, dtype):
     biased convs, no normalization — the exact function the torch original
     computes in eval mode."""
     from .encoders import (MobileNetV2Encoder, TimmEfficientNetLiteEncoder,
-                           TorchResNetEncoder)
+                           TorchResNetEncoder, TorchVGGEncoder)
 
     if encoder_name == "mobilenet_v2":
         return MobileNetV2Encoder(dtype=dtype, norm="none")
-    if encoder_name in ("resnet18", "resnet"):
-        return TorchResNetEncoder(layers=(2, 2, 2, 2), dtype=dtype,
+    if encoder_name in _RESNET_FORMS:
+        layers, block, groups, base_width = _RESNET_FORMS[encoder_name]
+        return TorchResNetEncoder(layers=layers, block=block, groups=groups,
+                                  base_width=base_width, dtype=dtype,
                                   norm="none")
-    if encoder_name == "resnet34":
-        return TorchResNetEncoder(layers=(3, 4, 6, 3), dtype=dtype,
-                                  norm="none")
-    if encoder_name == "resnet50":
-        return TorchResNetEncoder(layers=(3, 4, 6, 3), block="bottleneck",
-                                  dtype=dtype, norm="none")
+    if encoder_name.startswith("vgg"):
+        return TorchVGGEncoder(variant=encoder_name.removesuffix("_bn"),
+                               dtype=dtype, norm="none")
+    if encoder_name.startswith("densenet"):
+        from .encoders import TorchDenseNetEncoder
+        return TorchDenseNetEncoder(variant=encoder_name, dtype=dtype,
+                                    norm="none")
     variant = ("efficientnet_lite0"
                if encoder_name == "timm-tf_efficientnet_lite0"
                else encoder_name)

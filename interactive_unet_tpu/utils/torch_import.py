@@ -184,6 +184,77 @@ def efficientnet_lite_to_flax(state_dict: dict,
     return out
 
 
+def vgg_to_flax(state_dict: dict, variant: str = "vgg16") -> dict:
+    """torchvision ``vgg11/13/16/19`` (plain or ``_bn``; auto-detected from
+    the state dict) -> nested flax params for ``TorchVGGEncoder(norm="none")``.
+    Plain VGG convs already carry biases and map directly; _bn variants fold
+    eval-mode BN into the conv.  The classifier head is ignored."""
+    from ..models.encoders import _VGG_CFGS
+
+    sd = state_dict
+    out = {}
+    idx = 0      # torchvision features.<idx> module counter
+    k = 0        # our ConvNormAct call-order counter
+    bn = "features.1.running_mean" in sd
+    for reps in _VGG_CFGS[variant]:
+        for _ in range(reps):
+            if bn:
+                out[f"ConvNormAct_{k}"] = {"Conv_0": _folded(
+                    sd, f"features.{idx}", f"features.{idx + 1}")}
+                idx += 3                     # conv, bn, relu
+            else:
+                out[f"ConvNormAct_{k}"] = {"Conv_0": _conv(
+                    sd, f"features.{idx}")}
+                idx += 2                     # conv, relu
+            k += 1
+        idx += 1                             # maxpool
+    return out
+
+
+def densenet_to_flax(state_dict: dict, variant: str = "densenet121") -> dict:
+    """torchvision ``densenet121/161/169/201`` state_dict -> nested flax
+    params for ``TorchDenseNetEncoder(norm="none")``.
+
+    DenseNet BN is pre-activation (norm-relu-conv), so instead of folding it
+    maps each BN onto an ``_Affine`` module (scale = gamma/sqrt(var+eps),
+    bias = beta - mean*scale — the exact eval-mode BN function); all convs
+    are bias-free, exactly like torch.  The classifier is ignored."""
+    from ..models.encoders import _DENSENET_FORMS
+
+    sd = state_dict
+    block_config, _, _ = _DENSENET_FORMS[variant]
+
+    def _aff(key):
+        g, b = _np(sd[f"{key}.weight"]), _np(sd[f"{key}.bias"])
+        m, v = _np(sd[f"{key}.running_mean"]), _np(sd[f"{key}.running_var"])
+        s = g / np.sqrt(v + 1e-5)
+        return {"scale": s, "bias": b - m * s}
+
+    def _k(key):
+        return {"kernel": _oihw_to_hwio(_np(sd[f"{key}.weight"]))}
+
+    out = {"Conv_0": _k("features.conv0"), "_Affine_0": _aff("features.norm0")}
+    layer, aff, conv = 0, 1, 1
+    for i, n in enumerate(block_config):
+        for j in range(n):
+            pre = f"features.denseblock{i + 1}.denselayer{j + 1}"
+            out[f"TorchDenseLayer_{layer}"] = {
+                "_Affine_0": _aff(f"{pre}.norm1"),
+                "Conv_0": _k(f"{pre}.conv1"),
+                "_Affine_1": _aff(f"{pre}.norm2"),
+                "Conv_1": _k(f"{pre}.conv2"),
+            }
+            layer += 1
+        if i < len(block_config) - 1:
+            t = f"features.transition{i + 1}"
+            out[f"_Affine_{aff}"] = _aff(f"{t}.norm")
+            out[f"Conv_{conv}"] = _k(f"{t}.conv")
+            aff += 1
+            conv += 1
+    out[f"_Affine_{aff}"] = _aff("features.norm5")
+    return out
+
+
 def _dense(sd, key):
     """torch nn.Linear -> flax nn.Dense (kernel transposed)."""
     return {"kernel": _np(sd[f"{key}.weight"]).T,
@@ -246,12 +317,47 @@ _IMPORTERS = {
     "mit_b0": mit_to_flax,
     "mit_b1": mit_to_flax,
     "mit_b2": _functools.partial(mit_to_flax, depths=(3, 4, 6, 3)),
+    "mit_b3": _functools.partial(mit_to_flax, depths=(3, 4, 18, 3)),
+    "mit_b4": _functools.partial(mit_to_flax, depths=(3, 8, 27, 3)),
+    "mit_b5": _functools.partial(mit_to_flax, depths=(3, 6, 40, 3)),
     "mobilenet_v2": mobilenet_v2_to_flax,
     "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet34": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3)),
     "resnet50": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3),
                                    bottleneck=True),
+    # resnext/wide share torchvision's resnet key layout exactly (the
+    # groups/base_width changes touch only tensor shapes, which the
+    # destination encoder determines)
+    "resnet101": _functools.partial(resnet_to_flax, layers=(3, 4, 23, 3),
+                                    bottleneck=True),
+    "resnet152": _functools.partial(resnet_to_flax, layers=(3, 8, 36, 3),
+                                    bottleneck=True),
+    "resnext50_32x4d": _functools.partial(resnet_to_flax,
+                                          layers=(3, 4, 6, 3),
+                                          bottleneck=True),
+    "resnext101_32x8d": _functools.partial(resnet_to_flax,
+                                           layers=(3, 4, 23, 3),
+                                           bottleneck=True),
+    "wide_resnet50_2": _functools.partial(resnet_to_flax,
+                                          layers=(3, 4, 6, 3),
+                                          bottleneck=True),
+    "vgg11": _functools.partial(vgg_to_flax, variant="vgg11"),
+    "vgg13": _functools.partial(vgg_to_flax, variant="vgg13"),
+    "vgg16": _functools.partial(vgg_to_flax, variant="vgg16"),
+    "vgg19": _functools.partial(vgg_to_flax, variant="vgg19"),
+    "vgg11_bn": _functools.partial(vgg_to_flax, variant="vgg11"),
+    "vgg13_bn": _functools.partial(vgg_to_flax, variant="vgg13"),
+    "vgg16_bn": _functools.partial(vgg_to_flax, variant="vgg16"),
+    "vgg19_bn": _functools.partial(vgg_to_flax, variant="vgg19"),
+    "densenet121": _functools.partial(densenet_to_flax,
+                                      variant="densenet121"),
+    "densenet161": _functools.partial(densenet_to_flax,
+                                      variant="densenet161"),
+    "densenet169": _functools.partial(densenet_to_flax,
+                                      variant="densenet169"),
+    "densenet201": _functools.partial(densenet_to_flax,
+                                      variant="densenet201"),
     "efficientnet_lite0": _functools.partial(
         efficientnet_lite_to_flax, variant="efficientnet_lite0"),
     "timm-tf_efficientnet_lite0": _functools.partial(

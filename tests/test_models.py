@@ -23,8 +23,9 @@ def test_architecture_forward(arch):
 
 
 @pytest.mark.parametrize("enc", ["cnn_s", "mobilenet_v2", "efficientnet_lite0",
-                                 "resnet", "resnet50", "mit_b0", "mit_b1",
-                                 "mit_b2"])
+                                 "resnet", "resnet50", "resnext50_32x4d",
+                                 "wide_resnet50_2", "vgg16", "densenet121",
+                                 "mit_b0", "mit_b1", "mit_b2", "mit_b3"])
 def test_encoders_pyramid(enc):
     e = models.registry.build_encoder(enc)
     x = jnp.zeros((1, 64, 64, 1), jnp.bfloat16)

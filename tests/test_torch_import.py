@@ -183,12 +183,15 @@ class _TVResNet(nn.Module):
 
 
 class _TVBottleneck(nn.Module):
-    def __init__(self, cin, width, stride):
+    def __init__(self, cin, planes, stride, groups=1, base_width=64):
         super().__init__()
-        cout = width * 4
+        # torchvision Bottleneck: width = int(planes*(base_width/64))*groups
+        width = int(planes * base_width / 64) * groups
+        cout = planes * 4
         self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
         self.bn1 = nn.BatchNorm2d(width)
-        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                               bias=False)
         self.bn2 = nn.BatchNorm2d(width)
         self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
         self.bn3 = nn.BatchNorm2d(cout)
@@ -209,7 +212,7 @@ class _TVBottleneck(nn.Module):
 class _TVResNet50(nn.Module):
     """torchvision resnet50 layout built from scratch (Bottleneck stages)."""
 
-    def __init__(self, layers=(3, 4, 6, 3), seed=0):
+    def __init__(self, layers=(3, 4, 6, 3), groups=1, base_width=64, seed=0):
         super().__init__()
         torch.manual_seed(seed)
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
@@ -220,7 +223,9 @@ class _TVResNet50(nn.Module):
             blocks = []
             for b in range(n):
                 blocks.append(_TVBottleneck(cin, w,
-                                            2 if (i > 0 and b == 0) else 1))
+                                            2 if (i > 0 and b == 0) else 1,
+                                            groups=groups,
+                                            base_width=base_width))
                 cin = w * 4
             setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
         _randomize_bn(self, seed + 1)
@@ -239,21 +244,27 @@ def _randomize_bn(m, seed):
                 mod.running_var.shape, generator=g) + 0.5
 
 
-@pytest.mark.parametrize("name,layers", [("resnet18", (2, 2, 2, 2)),
-                                         ("resnet34", (3, 4, 6, 3)),
-                                         ("resnet50", (3, 4, 6, 3))])
-def test_resnet_import_activation_parity(name, layers):
+@pytest.mark.parametrize(
+    "name,layers,groups,base_width",
+    [("resnet18", (2, 2, 2, 2), 1, 64),
+     ("resnet34", (3, 4, 6, 3), 1, 64),
+     ("resnet50", (3, 4, 6, 3), 1, 64),
+     ("resnext50_32x4d", (3, 4, 6, 3), 32, 4),
+     ("wide_resnet50_2", (3, 4, 6, 3), 1, 128)])
+def test_resnet_import_activation_parity(name, layers, groups, base_width):
     import jax
     import jax.numpy as jnp
 
     from interactive_unet_tpu.models.encoders import TorchResNetEncoder
 
-    bottleneck = name == "resnet50"
-    tm = _TVResNet50(layers) if bottleneck else _TVResNet(layers)
+    bottleneck = name not in ("resnet18", "resnet34")
+    tm = (_TVResNet50(layers, groups=groups, base_width=base_width)
+          if bottleneck else _TVResNet(layers))
     imported = TI.resnet_to_flax(tm.state_dict(), layers=layers,
                                  bottleneck=bottleneck)
 
     enc = TorchResNetEncoder(layers=layers, norm="none", dtype=jnp.float32,
+                             groups=groups, base_width=base_width,
                              block="bottleneck" if bottleneck else "basic")
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
@@ -380,7 +391,9 @@ def test_efficientnet_lite_import_activation_parity(variant):
 @pytest.mark.parametrize("encoder,builder", [
     ("resnet18", lambda: _TVResNet((2, 2, 2, 2), seed=5)),
     ("resnet50", lambda: _TVResNet50(seed=7)),
+    ("resnext50_32x4d", lambda: _TVResNet50(groups=32, base_width=4, seed=8)),
     ("efficientnet_lite0", lambda: _TimmEffLite(seed=6)),
+    ("vgg16_bn", lambda: _tv_vgg("vgg16", bn=True, seed=9)),
 ])
 def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
                                                   encoder, builder):
@@ -401,7 +414,7 @@ def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
     params = model.init(jax.random.key(0), x)
     before = np.asarray(model.apply(params, x))
     params2, n = TI.maybe_load_pretrained(params, encoder)
-    assert n >= 40
+    assert n >= 26  # vgg16 is the smallest family: 13 convs x (kernel, bias)
     after = np.asarray(model.apply(params2, x))
     assert not np.allclose(before, after)
     assert np.isfinite(after).all()
@@ -670,3 +683,178 @@ def test_mmseg_wrapped_state_dict(tmp_path, monkeypatch):
     params = model.init(jax.random.key(0), x)
     _, n = TI.maybe_load_pretrained(params, "mit_b0")
     assert n > 100
+
+
+# -- torchvision-identical VGG features, built from scratch -------------------
+
+def _tv_vgg(variant="vgg16", bn=False, seed=0):
+    """nn.Sequential with torchvision's exact vgg ``features`` module
+    indexing (conv[,bn],relu per conv; maxpool between stages)."""
+    from interactive_unet_tpu.models.encoders import _VGG_CFGS, _VGG_CHANNELS
+
+    torch.manual_seed(seed)
+    mods, cin = [], 3
+    for stage, reps in enumerate(_VGG_CFGS[variant]):
+        c = _VGG_CHANNELS[stage]
+        for _ in range(reps):
+            mods.append(nn.Conv2d(cin, c, 3, 1, 1, bias=not bn))
+            if bn:
+                mods.append(nn.BatchNorm2d(c))
+            mods.append(nn.ReLU(inplace=True))
+            cin = c
+        mods.append(nn.MaxPool2d(2, 2))
+    m = nn.Module()
+    m.features = nn.Sequential(*mods)
+    _randomize_bn(m, seed + 1)
+    m.eval()
+    return m
+
+
+def _tv_vgg_pyramid(m, x, variant="vgg16"):
+    """The 5 stride-(2,4,8,16,32) intermediates TorchVGGEncoder returns:
+    stage-2..5 conv-block outputs + the final pool."""
+    from interactive_unet_tpu.models.encoders import _VGG_CFGS
+
+    outs = []
+    pools_seen = 0
+    with torch.no_grad():
+        for mod in m.features:
+            if isinstance(mod, nn.MaxPool2d):
+                pools_seen += 1
+                if pools_seen >= 2:
+                    outs.append(x)           # pre-pool conv output, s2..s16
+                x = mod(x)
+            else:
+                x = mod(x)
+    outs.append(x)                            # final pool, stride 32
+    return [o.detach().numpy().transpose(0, 2, 3, 1) for o in outs]
+
+
+@pytest.mark.parametrize("variant,bn", [("vgg11", True), ("vgg16", False),
+                                        ("vgg16", True)])
+def test_vgg_import_activation_parity(variant, bn):
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models.encoders import _VGG_CFGS, TorchVGGEncoder
+
+    tm = _tv_vgg(variant, bn=bn)
+    imported = TI.vgg_to_flax(tm.state_dict(), variant=variant)
+
+    enc = TorchVGGEncoder(variant=variant, norm="none", dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"encoder": params["params"]}}
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
+    assert n == 2 * sum(_VGG_CFGS[variant])  # kernel+bias per conv
+    params = {"params": wrapped["params"]["encoder"]}
+
+    feats = enc.apply(params, jnp.asarray(x))
+    torch_feats = _tv_vgg_pyramid(tm, torch.tensor(x.transpose(0, 3, 1, 2)),
+                                  variant)
+    assert len(feats) == len(torch_feats) == 5
+    for i, (a, b) in enumerate(zip(feats, torch_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-3,
+                                   err_msg=f"{variant} bn={bn} stage {i}")
+
+
+# -- torchvision-identical DenseNet features, built from scratch --------------
+
+class _TVDenseLayer(nn.Module):
+    """torchvision _DenseLayer: norm1-relu-conv1x1-norm2-relu-conv3x3."""
+
+    def __init__(self, cin, growth):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(4 * growth)
+        self.conv2 = nn.Conv2d(4 * growth, growth, 3, 1, 1, bias=False)
+
+    def forward(self, x):
+        h = self.conv1(torch.relu(self.norm1(x)))
+        h = self.conv2(torch.relu(self.norm2(h)))
+        return torch.cat([x, h], 1)
+
+
+class _TVDenseNet(nn.Module):
+    """torchvision densenet state-dict layout built from scratch
+    (features.conv0/norm0, denseblock{i}.denselayer{j}, transition{i},
+    norm5), with the pyramid cut TorchDenseNetEncoder makes."""
+
+    def __init__(self, variant="densenet121", seed=0):
+        super().__init__()
+        from interactive_unet_tpu.models.encoders import _DENSENET_FORMS
+
+        self.block_config, growth, num_init = _DENSENET_FORMS[variant]
+        torch.manual_seed(seed)
+        f = nn.Module()
+        f.conv0 = nn.Conv2d(3, num_init, 7, 2, 3, bias=False)
+        f.norm0 = nn.BatchNorm2d(num_init)
+        c = num_init
+        for i, n in enumerate(self.block_config):
+            blk = nn.Module()
+            for j in range(n):
+                setattr(blk, f"denselayer{j + 1}", _TVDenseLayer(c, growth))
+                c += growth
+            setattr(f, f"denseblock{i + 1}", blk)
+            if i < len(self.block_config) - 1:
+                t = nn.Module()
+                t.norm = nn.BatchNorm2d(c)
+                t.conv = nn.Conv2d(c, c // 2, 1, bias=False)
+                setattr(f, f"transition{i + 1}", t)
+                c //= 2
+        f.norm5 = nn.BatchNorm2d(c)
+        self.features = f
+        _randomize_bn(self, seed + 1)
+        self.eval()
+
+    def pyramid(self, x):
+        f = self.features
+        with torch.no_grad():
+            x = torch.relu(f.norm0(f.conv0(x)))
+            outs = [x]                                         # stride 2
+            x = torch.max_pool2d(x, 3, 2, 1)
+            for i, n in enumerate(self.block_config):
+                blk = getattr(f, f"denseblock{i + 1}")
+                for j in range(n):
+                    x = getattr(blk, f"denselayer{j + 1}")(x)
+                if i < len(self.block_config) - 1:
+                    t = getattr(f, f"transition{i + 1}")
+                    x = torch.relu(t.norm(x))
+                    outs.append(x)                             # s4, s8, s16
+                    x = torch.nn.functional.avg_pool2d(t.conv(x), 2, 2)
+                else:
+                    outs.append(torch.relu(f.norm5(x)))        # stride 32
+        return [o.numpy().transpose(0, 2, 3, 1) for o in outs]
+
+
+def test_densenet_import_activation_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models.encoders import TorchDenseNetEncoder
+
+    tm = _TVDenseNet("densenet121", seed=11)
+    imported = TI.densenet_to_flax(tm.state_dict(), variant="densenet121")
+
+    enc = TorchDenseNetEncoder(variant="densenet121", norm="none",
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"encoder": params["params"]}}
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
+    # 58 dense layers x 6 arrays + stem (kernel + affine pair) + 3
+    # transitions x 3 + final affine pair
+    assert n > 300
+    params = {"params": wrapped["params"]["encoder"]}
+
+    feats = enc.apply(params, jnp.asarray(x))
+    torch_feats = tm.pyramid(torch.tensor(x.transpose(0, 3, 1, 2)))
+    assert len(feats) == len(torch_feats) == 5
+    for i, (a, b) in enumerate(zip(feats, torch_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-3,
+                                   err_msg=f"densenet121 stage {i}")
