@@ -335,6 +335,124 @@ class TimmEfficientNetLiteEncoder(nn.Module):
         return feats
 
 
+# torchvision efficientnet_b* generation rules (torchvision
+# models/efficientnet.py _efficientnet_conf): base repeats/channels/kernels
+# below; width_mult rounds channels via _make_divisible(c*mult, 8) (applied
+# at mult=1.0 too, unlike timm-lite); depth_mult scales repeats with ceil on
+# EVERY stage (no lite-style fix_first_last); stem = adjust_channels(32).
+_EFFNET_REPEATS = (1, 2, 2, 3, 3, 4, 1)
+_EFFNET_CHANNELS = (16, 24, 40, 80, 112, 192, 320)
+_EFFNET_STRIDES = (1, 2, 2, 2, 1, 2, 1)
+_EFFNET_KERNELS = (3, 3, 5, 3, 5, 5, 3)
+_EFFNET_MULT = {  # (width, depth)
+    "efficientnet_b0": (1.0, 1.0),
+    "efficientnet_b1": (1.0, 1.1),
+    "efficientnet_b2": (1.1, 1.2),
+    "efficientnet_b3": (1.2, 1.4),
+    "efficientnet_b4": (1.4, 1.8),
+    "efficientnet_b5": (1.6, 2.2),
+}
+
+
+def _make_divisible(v: float, divisor: int = 8) -> int:
+    """torchvision _make_divisible (round to divisor, never below 90%)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def _effnet_arch(name: str):
+    """-> (stem_channels, repeats, channels) for a torchvision
+    efficientnet_b* variant."""
+    import math
+
+    width, depth = _EFFNET_MULT[name]
+    reps = tuple(int(math.ceil(r * depth)) for r in _EFFNET_REPEATS)
+    chans = tuple(_make_divisible(c * width) for c in _EFFNET_CHANNELS)
+    return _make_divisible(32 * width), reps, chans
+
+
+class SqueezeExcite(nn.Module):
+    """torchvision SqueezeExcitation: global-avg -> 1x1 fc1 + SiLU -> 1x1
+    fc2 + sigmoid -> channel scale.  The fc convs carry biases and no BN,
+    so they map unchanged in both the folded and from-scratch forms."""
+
+    squeeze: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze, (1, 1), dtype=self.dtype)(s.astype(x.dtype))
+        s = nn.silu(s)
+        s = nn.Conv(int(x.shape[-1]), (1, 1), dtype=self.dtype)(s)
+        return x * nn.sigmoid(s.astype(x.dtype))
+
+
+class MBConvSE(nn.Module):
+    """torchvision MBConv: 1x1 expand (SiLU) -> kxk depthwise (SiLU) ->
+    squeeze-excitation (squeeze = block INPUT channels // 4, torchvision's
+    rule) -> 1x1 linear project; residual at stride 1 with matching
+    channels (stochastic depth is identity in the eval form)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    expand: int = 6
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = int(x.shape[-1])
+        mid = c_in * self.expand
+        h = x
+        if self.expand != 1:
+            h = ConvNormAct(mid, kernel=1, dtype=self.dtype, norm=self.norm,
+                            act_name="silu")(h)
+        h = ConvNormAct(mid, kernel=self.kernel, stride=self.stride,
+                        groups=mid, dtype=self.dtype, norm=self.norm,
+                        act_name="silu")(h)
+        h = SqueezeExcite(max(1, c_in // 4), dtype=self.dtype)(h)
+        h = ConvNormAct(self.features, kernel=1, act=False, dtype=self.dtype,
+                        norm=self.norm)(h)
+        if self.stride == 1 and c_in == self.features:
+            h = h + x
+        return h
+
+
+class TorchEfficientNetEncoder(nn.Module):
+    """torchvision ``efficientnet_b0-b5`` features geometry (SiLU + SE
+    MBConv); folded-BN form at norm="none" for name-mapped ImageNet import
+    (utils/torch_import.efficientnet_to_flax; reference unet.py:28-31
+    offers pretrained weights for every encoder).  Pyramid at strides
+    (2, 4, 8, 16, 32) = outputs of stages 1, 2, 3, 5, 7 — smp's
+    EfficientNetEncoder depth-5 cut."""
+
+    variant: str = "efficientnet_b0"
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        stem, reps, chans = _effnet_arch(self.variant)
+        feats = []
+        x = ConvNormAct(stem, stride=2, dtype=self.dtype, norm=self.norm,
+                        act_name="silu")(x)
+        for stage, (r, c, s, k) in enumerate(zip(reps, chans,
+                                                 _EFFNET_STRIDES,
+                                                 _EFFNET_KERNELS)):
+            expand = 1 if stage == 0 else 6
+            for b in range(r):
+                x = MBConvSE(c, kernel=k, stride=s if b == 0 else 1,
+                             expand=expand, dtype=self.dtype,
+                             norm=self.norm)(x)
+            if stage in (0, 1, 2, 4, 6):
+                feats.append(x)               # strides 2, 4, 8, 16, 32
+        return feats
+
+
 class _Affine(nn.Module):
     """Eval-mode BatchNorm as a per-channel affine (scale, bias).
 
@@ -511,6 +629,18 @@ ENCODER_BUILDERS = {
     "densenet201": lambda dtype: TorchDenseNetEncoder(
         variant="densenet201", norm="group", dtype=dtype),
     "mobilenet_v2": lambda dtype: MobileNetV2Encoder(dtype=dtype),
+    "efficientnet_b0": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b0", norm="group", dtype=dtype),
+    "efficientnet_b1": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b1", norm="group", dtype=dtype),
+    "efficientnet_b2": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b2", norm="group", dtype=dtype),
+    "efficientnet_b3": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b3", norm="group", dtype=dtype),
+    "efficientnet_b4": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b4", norm="group", dtype=dtype),
+    "efficientnet_b5": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b5", norm="group", dtype=dtype),
     "efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
     "efficientnet_lite1": lambda dtype: EfficientNetLiteEncoder(
         width_mult=1.1, dtype=dtype),

@@ -95,6 +95,14 @@ class _PackedGroupNorm(nn.Module):
                                           dtype=self.dtype)
 
 
+def _activation(x, name: str):
+    if name == "relu6":
+        return jax.nn.relu6(x)
+    if name == "silu":
+        return jax.nn.silu(x)
+    return nn.relu(x)
+
+
 class ConvNormAct(nn.Module):
     """Conv + normalization + activation.
 
@@ -128,7 +136,7 @@ class ConvNormAct(nn.Module):
     act: bool = True
     groups: int = 1
     norm: str = "group"          # "group" | "none"
-    act_name: str = "relu"       # "relu" | "relu6"
+    act_name: str = "relu"       # "relu" | "relu6" | "silu"
     packed_in: bool = False
     packed_out: bool = False
 
@@ -156,8 +164,7 @@ class ConvNormAct(nn.Module):
                                      dtype=self.dtype,
                                      name="GroupNorm_0")(y)
             if self.act:
-                y = jax.nn.relu6(y) if self.act_name == "relu6" \
-                    else nn.relu(y)
+                y = _activation(y, self.act_name)
             return y if self.packed_out else packconv.depth_to_space(y)
 
         if self.packed_in:
@@ -173,7 +180,7 @@ class ConvNormAct(nn.Module):
             g = _num_groups(self.features)
             x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
         if self.act:
-            x = jax.nn.relu6(x) if self.act_name == "relu6" else nn.relu(x)
+            x = _activation(x, self.act_name)
         return packconv.space_to_depth(x) if self.packed_out else x
 
 

@@ -58,6 +58,9 @@ IMPORTABLE_ENCODERS = {"mobilenet_v2", "resnet18", "resnet34", "resnet",
                        "vgg11_bn", "vgg13_bn", "vgg16_bn", "vgg19_bn",
                        "densenet121", "densenet161", "densenet169",
                        "densenet201",
+                       "efficientnet_b0", "efficientnet_b1",
+                       "efficientnet_b2", "efficientnet_b3",
+                       "efficientnet_b4", "efficientnet_b5",
                        "efficientnet_lite0",
                        "efficientnet_lite1", "efficientnet_lite2",
                        "timm-tf_efficientnet_lite0", "mit_b0", "mit_b1",
@@ -100,6 +103,10 @@ def _pretrained_form(encoder_name: str, dtype):
         from .encoders import TorchDenseNetEncoder
         return TorchDenseNetEncoder(variant=encoder_name, dtype=dtype,
                                     norm="none")
+    if encoder_name.startswith("efficientnet_b"):
+        from .encoders import TorchEfficientNetEncoder
+        return TorchEfficientNetEncoder(variant=encoder_name, dtype=dtype,
+                                        norm="none")
     variant = ("efficientnet_lite0"
                if encoder_name == "timm-tf_efficientnet_lite0"
                else encoder_name)

@@ -184,6 +184,49 @@ def efficientnet_lite_to_flax(state_dict: dict,
     return out
 
 
+def efficientnet_to_flax(state_dict: dict,
+                         variant: str = "efficientnet_b0") -> dict:
+    """torchvision ``efficientnet_b0-b5`` state_dict -> nested flax params
+    for ``TorchEfficientNetEncoder(norm="none")``.
+
+    torchvision key layout (models/efficientnet.py): ``features.0`` is the
+    stem Conv2dNormActivation; ``features.{1..7}.{b}.block`` is a
+    Sequential of [expand CNA (stages 2-7 only),] depthwise CNA,
+    SqueezeExcitation (``fc1``/``fc2`` biased 1x1 convs), project CNA;
+    ``features.8`` (head conv) and the classifier are ignored (depth-5
+    pyramid cut)."""
+    from ..models.encoders import _effnet_arch
+
+    sd = state_dict
+    _, reps, _ = _effnet_arch(variant)
+    out = {"ConvNormAct_0": {"Conv_0": _folded(sd, "features.0.0",
+                                               "features.0.1")}}
+    block = 0
+    for stage, r in enumerate(reps):
+        for b in range(r):
+            pre = f"features.{stage + 1}.{b}.block"
+            scope = {}
+            i = 0
+            if stage != 0:                    # expand conv present
+                scope["ConvNormAct_0"] = {"Conv_0": _folded(
+                    sd, f"{pre}.0.0", f"{pre}.0.1")}
+                i = 1
+                dw, proj = "ConvNormAct_1", "ConvNormAct_2"
+            else:
+                dw, proj = "ConvNormAct_0", "ConvNormAct_1"
+            scope[dw] = {"Conv_0": _folded(sd, f"{pre}.{i}.0",
+                                           f"{pre}.{i}.1")}
+            scope["SqueezeExcite_0"] = {
+                "Conv_0": _conv(sd, f"{pre}.{i + 1}.fc1"),
+                "Conv_1": _conv(sd, f"{pre}.{i + 1}.fc2"),
+            }
+            scope[proj] = {"Conv_0": _folded(sd, f"{pre}.{i + 2}.0",
+                                             f"{pre}.{i + 2}.1")}
+            out[f"MBConvSE_{block}"] = scope
+            block += 1
+    return out
+
+
 def vgg_to_flax(state_dict: dict, variant: str = "vgg16") -> dict:
     """torchvision ``vgg11/13/16/19`` (plain or ``_bn``; auto-detected from
     the state dict) -> nested flax params for ``TorchVGGEncoder(norm="none")``.
@@ -358,6 +401,18 @@ _IMPORTERS = {
                                       variant="densenet169"),
     "densenet201": _functools.partial(densenet_to_flax,
                                       variant="densenet201"),
+    "efficientnet_b0": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b0"),
+    "efficientnet_b1": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b1"),
+    "efficientnet_b2": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b2"),
+    "efficientnet_b3": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b3"),
+    "efficientnet_b4": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b4"),
+    "efficientnet_b5": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b5"),
     "efficientnet_lite0": _functools.partial(
         efficientnet_lite_to_flax, variant="efficientnet_lite0"),
     "timm-tf_efficientnet_lite0": _functools.partial(

@@ -388,11 +388,123 @@ def test_efficientnet_lite_import_activation_parity(variant):
                                    err_msg=f"{variant} stage {i}")
 
 
+# -- torchvision efficientnet_b* (SiLU + SE MBConv), from scratch ------------
+
+class _TVCNA(nn.Sequential):
+    """torchvision Conv2dNormActivation key layout (.0 conv, .1 bn)."""
+
+    def __init__(self, i, o, k=3, s=1, g=1, act=True):
+        layers = [nn.Conv2d(i, o, k, s, (k - 1) // 2, groups=g, bias=False),
+                  nn.BatchNorm2d(o)]
+        if act:
+            layers.append(nn.SiLU(inplace=True))
+        super().__init__(*layers)
+
+
+class _TVSE(nn.Module):
+    """torchvision SqueezeExcitation (fc1/fc2 biased 1x1 convs)."""
+
+    def __init__(self, c, squeeze):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(c, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, c, 1)
+
+    def forward(self, x):
+        s = self.avgpool(x)
+        s = torch.sigmoid(self.fc2(nn.functional.silu(self.fc1(s))))
+        return x * s
+
+
+class _TVMBConv(nn.Module):
+    def __init__(self, cin, cout, k, s, expand):
+        super().__init__()
+        mid = cin * expand
+        layers = []
+        if expand != 1:
+            layers.append(_TVCNA(cin, mid, 1))
+        layers.append(_TVCNA(mid, mid, k, s, g=mid))
+        layers.append(_TVSE(mid, max(1, cin // 4)))
+        layers.append(_TVCNA(mid, cout, 1, act=False))
+        self.block = nn.Sequential(*layers)
+        self.use_res = s == 1 and cin == cout
+
+    def forward(self, x):
+        h = self.block(x)
+        return x + h if self.use_res else h
+
+
+class _TVEffNet(nn.Module):
+    """torchvision efficientnet_b* ``features`` geometry + key layout."""
+
+    def __init__(self, variant="efficientnet_b0", seed=0):
+        super().__init__()
+        from interactive_unet_tpu.models.encoders import (_EFFNET_KERNELS,
+                                                          _EFFNET_STRIDES,
+                                                          _effnet_arch)
+
+        torch.manual_seed(seed)
+        stem, reps, chans = _effnet_arch(variant)
+        stages = [_TVCNA(3, stem, 3, 2)]
+        cin = stem
+        for stage, (r, c, s, k) in enumerate(zip(reps, chans,
+                                                 _EFFNET_STRIDES,
+                                                 _EFFNET_KERNELS)):
+            blocks = []
+            for b in range(r):
+                blocks.append(_TVMBConv(cin, c, k, s if b == 0 else 1,
+                                        1 if stage == 0 else 6))
+                cin = c
+            stages.append(nn.Sequential(*blocks))
+        self.features = nn.Sequential(*stages)
+        _randomize_bn(self, seed + 1)
+        self.eval()
+
+    def stage_feats(self, x):
+        outs = []
+        x = self.features[0](x)
+        for i in range(1, 8):
+            x = self.features[i](x)
+            if i in (1, 2, 3, 5, 7):
+                outs.append(x)
+        return [o.detach().numpy().transpose(0, 2, 3, 1) for o in outs]
+
+
+@pytest.mark.parametrize("variant", ["efficientnet_b0", "efficientnet_b2"])
+def test_efficientnet_import_activation_parity(variant):
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models.encoders import TorchEfficientNetEncoder
+
+    tm = _TVEffNet(variant, seed=13)
+    imported = TI.efficientnet_to_flax(tm.state_dict(), variant=variant)
+
+    enc = TorchEfficientNetEncoder(variant=variant, norm="none",
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"encoder": params["params"]}}
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
+    assert n >= 120   # b0: stem + 16 blocks x (2-3 CNA + 2 SE convs)
+    params = {"params": wrapped["params"]["encoder"]}
+
+    feats = enc.apply(params, jnp.asarray(x))
+    torch_feats = tm.stage_feats(torch.tensor(x.transpose(0, 3, 1, 2)))
+    assert len(feats) == len(torch_feats) == 5
+    for i, (a, b) in enumerate(zip(feats, torch_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-3,
+                                   err_msg=f"{variant} stage {i}")
+
+
 @pytest.mark.parametrize("encoder,builder", [
     ("resnet18", lambda: _TVResNet((2, 2, 2, 2), seed=5)),
     ("resnet50", lambda: _TVResNet50(seed=7)),
     ("resnext50_32x4d", lambda: _TVResNet50(groups=32, base_width=4, seed=8)),
     ("efficientnet_lite0", lambda: _TimmEffLite(seed=6)),
+    ("efficientnet_b0", lambda: _TVEffNet(seed=12)),
     ("vgg16_bn", lambda: _tv_vgg("vgg16", bn=True, seed=9)),
 ])
 def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
