@@ -453,6 +453,121 @@ class TorchEfficientNetEncoder(nn.Module):
         return feats
 
 
+# torchvision mobilenet_v3 inverted-residual settings (models/mobilenetv3.py
+# _mobilenet_v3_conf): rows are (kernel, expanded_c, out_c, use_se, act,
+# stride); input channels chain from the previous row (stem = 16).
+_MNV3_CONFS = {
+    "mobilenet_v3_large": (
+        (3, 16, 16, False, "relu", 1),
+        (3, 64, 24, False, "relu", 2),
+        (3, 72, 24, False, "relu", 1),
+        (5, 72, 40, True, "relu", 2),
+        (5, 120, 40, True, "relu", 1),
+        (5, 120, 40, True, "relu", 1),
+        (3, 240, 80, False, "hardswish", 2),
+        (3, 200, 80, False, "hardswish", 1),
+        (3, 184, 80, False, "hardswish", 1),
+        (3, 184, 80, False, "hardswish", 1),
+        (3, 480, 112, True, "hardswish", 1),
+        (3, 672, 112, True, "hardswish", 1),
+        (5, 672, 160, True, "hardswish", 2),
+        (5, 960, 160, True, "hardswish", 1),
+        (5, 960, 160, True, "hardswish", 1),
+    ),
+    "mobilenet_v3_small": (
+        (3, 16, 16, True, "relu", 2),
+        (3, 72, 24, False, "relu", 2),
+        (3, 88, 24, False, "relu", 1),
+        (5, 96, 40, True, "hardswish", 2),
+        (5, 240, 40, True, "hardswish", 1),
+        (5, 240, 40, True, "hardswish", 1),
+        (5, 120, 48, True, "hardswish", 1),
+        (5, 144, 48, True, "hardswish", 1),
+        (5, 288, 96, True, "hardswish", 2),
+        (5, 576, 96, True, "hardswish", 1),
+        (5, 576, 96, True, "hardswish", 1),
+    ),
+}
+
+
+class SqueezeExciteV3(nn.Module):
+    """torchvision SqueezeExcitation in its MobileNetV3 parameterization:
+    fc1 + ReLU -> fc2 + hard-sigmoid channel scale (biased convs, no BN)."""
+
+    squeeze: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.squeeze, (1, 1), dtype=self.dtype)(s.astype(x.dtype))
+        s = nn.relu(s)
+        s = nn.Conv(int(x.shape[-1]), (1, 1), dtype=self.dtype)(s)
+        return x * nn.hard_sigmoid(s.astype(x.dtype))
+
+
+class MobileNetV3Block(nn.Module):
+    """torchvision MobileNetV3 InvertedResidual: 1x1 expand (skipped when
+    expanded == input channels) -> kxk depthwise -> optional SE
+    (squeeze = _make_divisible(expanded // 4)) -> 1x1 linear project;
+    residual at stride 1 with matching channels."""
+
+    features: int
+    kernel: int = 3
+    exp: int = 16
+    use_se: bool = False
+    act: str = "hardswish"
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = int(x.shape[-1])
+        h = x
+        if self.exp != c_in:
+            h = ConvNormAct(self.exp, kernel=1, dtype=self.dtype,
+                            norm=self.norm, act_name=self.act)(h)
+        h = ConvNormAct(self.exp, kernel=self.kernel, stride=self.stride,
+                        groups=self.exp, dtype=self.dtype, norm=self.norm,
+                        act_name=self.act)(h)
+        if self.use_se:
+            h = SqueezeExciteV3(_make_divisible(self.exp // 4),
+                                dtype=self.dtype)(h)
+        h = ConvNormAct(self.features, kernel=1, act=False, dtype=self.dtype,
+                        norm=self.norm)(h)
+        if self.stride == 1 and c_in == self.features:
+            h = h + x
+        return h
+
+
+class TorchMobileNetV3Encoder(nn.Module):
+    """torchvision ``mobilenet_v3_large/small`` features geometry
+    (hardswish stem + V3 inverted residuals); folded-BN form at norm="none"
+    for name-mapped ImageNet import (utils/torch_import.mobilenet_v3_to_flax;
+    reference unet.py:28-31).  Pyramid at strides (2, 4, 8, 16, 32): the
+    tensor entering each stride-2 block plus the final block output — the
+    same cut smp's timm-mobilenetv3 encoders use."""
+
+    variant: str = "mobilenet_v3_large"
+    dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        x = ConvNormAct(16, stride=2, dtype=self.dtype, norm=self.norm,
+                        act_name="hardswish")(x)                   # stem
+        for k, exp, c, se, act, s in _MNV3_CONFS[self.variant]:
+            if s == 2:
+                feats.append(x)
+            x = MobileNetV3Block(c, kernel=k, exp=exp, use_se=se, act=act,
+                                 stride=s, dtype=self.dtype,
+                                 norm=self.norm)(x)
+        feats.append(x)
+        return feats
+
+
 class _Affine(nn.Module):
     """Eval-mode BatchNorm as a per-channel affine (scale, bias).
 
@@ -629,6 +744,10 @@ ENCODER_BUILDERS = {
     "densenet201": lambda dtype: TorchDenseNetEncoder(
         variant="densenet201", norm="group", dtype=dtype),
     "mobilenet_v2": lambda dtype: MobileNetV2Encoder(dtype=dtype),
+    "mobilenet_v3_large": lambda dtype: TorchMobileNetV3Encoder(
+        variant="mobilenet_v3_large", norm="group", dtype=dtype),
+    "mobilenet_v3_small": lambda dtype: TorchMobileNetV3Encoder(
+        variant="mobilenet_v3_small", norm="group", dtype=dtype),
     "efficientnet_b0": lambda dtype: TorchEfficientNetEncoder(
         variant="efficientnet_b0", norm="group", dtype=dtype),
     "efficientnet_b1": lambda dtype: TorchEfficientNetEncoder(

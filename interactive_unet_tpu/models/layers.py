@@ -100,6 +100,8 @@ def _activation(x, name: str):
         return jax.nn.relu6(x)
     if name == "silu":
         return jax.nn.silu(x)
+    if name == "hardswish":
+        return jax.nn.hard_swish(x)
     return nn.relu(x)
 
 
@@ -136,7 +138,7 @@ class ConvNormAct(nn.Module):
     act: bool = True
     groups: int = 1
     norm: str = "group"          # "group" | "none"
-    act_name: str = "relu"       # "relu" | "relu6" | "silu"
+    act_name: str = "relu"       # "relu" | "relu6" | "silu" | "hardswish"
     packed_in: bool = False
     packed_out: bool = False
 

@@ -50,7 +50,9 @@ _BUILDERS = {
 # name-mapped pretrained weight import (utils/torch_import.py).  Every
 # UI-exposed non-native encoder is importable (VERDICT r2 #4: reference
 # unet.py:28-31 offers ImageNet weights for every encoder).
-IMPORTABLE_ENCODERS = {"mobilenet_v2", "resnet18", "resnet34", "resnet",
+IMPORTABLE_ENCODERS = {"mobilenet_v2", "mobilenet_v3_large",
+                       "mobilenet_v3_small",
+                       "resnet18", "resnet34", "resnet",
                        "resnet50", "resnet101", "resnet152",
                        "resnext50_32x4d", "resnext101_32x8d",
                        "wide_resnet50_2",
@@ -91,6 +93,10 @@ def _pretrained_form(encoder_name: str, dtype):
 
     if encoder_name == "mobilenet_v2":
         return MobileNetV2Encoder(dtype=dtype, norm="none")
+    if encoder_name.startswith("mobilenet_v3"):
+        from .encoders import TorchMobileNetV3Encoder
+        return TorchMobileNetV3Encoder(variant=encoder_name, dtype=dtype,
+                                       norm="none")
     if encoder_name in _RESNET_FORMS:
         layers, block, groups, base_width = _RESNET_FORMS[encoder_name]
         return TorchResNetEncoder(layers=layers, block=block, groups=groups,

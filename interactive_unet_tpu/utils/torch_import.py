@@ -227,6 +227,47 @@ def efficientnet_to_flax(state_dict: dict,
     return out
 
 
+def mobilenet_v3_to_flax(state_dict: dict,
+                         variant: str = "mobilenet_v3_large") -> dict:
+    """torchvision ``mobilenet_v3_large/small`` state_dict -> nested flax
+    params for ``TorchMobileNetV3Encoder(norm="none")``.
+
+    Key layout (models/mobilenetv3.py): ``features.0`` stem CNA;
+    ``features.{i}.block`` is a Sequential of [expand CNA (when expanded !=
+    input channels),] depthwise CNA, [SqueezeExcitation (fc1/fc2),] project
+    CNA; the trailing 1x1 head CNA and classifier are ignored."""
+    from ..models.encoders import _MNV3_CONFS
+
+    sd = state_dict
+    out = {"ConvNormAct_0": {"Conv_0": _folded(sd, "features.0.0",
+                                               "features.0.1")}}
+    cin = 16
+    for i, (_k, exp, c, se, _act, _s) in enumerate(_MNV3_CONFS[variant]):
+        pre = f"features.{i + 1}.block"
+        scope = {}
+        j = n = 0           # torch submodule index / our call counter
+        if exp != cin:
+            scope[f"ConvNormAct_{n}"] = {"Conv_0": _folded(
+                sd, f"{pre}.{j}.0", f"{pre}.{j}.1")}
+            j += 1
+            n += 1
+        scope[f"ConvNormAct_{n}"] = {"Conv_0": _folded(
+            sd, f"{pre}.{j}.0", f"{pre}.{j}.1")}
+        j += 1
+        n += 1
+        if se:
+            scope["SqueezeExciteV3_0"] = {
+                "Conv_0": _conv(sd, f"{pre}.{j}.fc1"),
+                "Conv_1": _conv(sd, f"{pre}.{j}.fc2"),
+            }
+            j += 1
+        scope[f"ConvNormAct_{n}"] = {"Conv_0": _folded(
+            sd, f"{pre}.{j}.0", f"{pre}.{j}.1")}
+        out[f"MobileNetV3Block_{i}"] = scope
+        cin = c
+    return out
+
+
 def vgg_to_flax(state_dict: dict, variant: str = "vgg16") -> dict:
     """torchvision ``vgg11/13/16/19`` (plain or ``_bn``; auto-detected from
     the state dict) -> nested flax params for ``TorchVGGEncoder(norm="none")``.
@@ -364,6 +405,10 @@ _IMPORTERS = {
     "mit_b4": _functools.partial(mit_to_flax, depths=(3, 8, 27, 3)),
     "mit_b5": _functools.partial(mit_to_flax, depths=(3, 6, 40, 3)),
     "mobilenet_v2": mobilenet_v2_to_flax,
+    "mobilenet_v3_large": _functools.partial(
+        mobilenet_v3_to_flax, variant="mobilenet_v3_large"),
+    "mobilenet_v3_small": _functools.partial(
+        mobilenet_v3_to_flax, variant="mobilenet_v3_small"),
     "resnet18": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet": _functools.partial(resnet_to_flax, layers=(2, 2, 2, 2)),
     "resnet34": _functools.partial(resnet_to_flax, layers=(3, 4, 6, 3)),

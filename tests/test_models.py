@@ -24,6 +24,7 @@ def test_architecture_forward(arch):
 
 @pytest.mark.parametrize("enc", ["cnn_s", "mobilenet_v2", "efficientnet_lite0",
                                  "efficientnet_b0", "efficientnet_b2",
+                                 "mobilenet_v3_large", "mobilenet_v3_small",
                                  "resnet", "resnet50", "resnext50_32x4d",
                                  "wide_resnet50_2", "vgg16", "densenet121",
                                  "mit_b0", "mit_b1", "mit_b2", "mit_b3"])

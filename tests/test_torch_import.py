@@ -393,11 +393,11 @@ def test_efficientnet_lite_import_activation_parity(variant):
 class _TVCNA(nn.Sequential):
     """torchvision Conv2dNormActivation key layout (.0 conv, .1 bn)."""
 
-    def __init__(self, i, o, k=3, s=1, g=1, act=True):
+    def __init__(self, i, o, k=3, s=1, g=1, act=nn.SiLU):
         layers = [nn.Conv2d(i, o, k, s, (k - 1) // 2, groups=g, bias=False),
                   nn.BatchNorm2d(o)]
-        if act:
-            layers.append(nn.SiLU(inplace=True))
+        if act is not None:
+            layers.append(act(inplace=True))
         super().__init__(*layers)
 
 
@@ -425,7 +425,7 @@ class _TVMBConv(nn.Module):
             layers.append(_TVCNA(cin, mid, 1))
         layers.append(_TVCNA(mid, mid, k, s, g=mid))
         layers.append(_TVSE(mid, max(1, cin // 4)))
-        layers.append(_TVCNA(mid, cout, 1, act=False))
+        layers.append(_TVCNA(mid, cout, 1, act=None))
         self.block = nn.Sequential(*layers)
         self.use_res = s == 1 and cin == cout
 
@@ -499,12 +499,111 @@ def test_efficientnet_import_activation_parity(variant):
                                    err_msg=f"{variant} stage {i}")
 
 
+# -- torchvision mobilenet_v3 (hardswish + SE-hardsigmoid), from scratch -----
+
+class _TVSEV3(nn.Module):
+    """torchvision SqueezeExcitation, MobileNetV3 parameterization
+    (ReLU fc1, hard-sigmoid scale)."""
+
+    def __init__(self, c, squeeze):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(c, squeeze, 1)
+        self.fc2 = nn.Conv2d(squeeze, c, 1)
+
+    def forward(self, x):
+        s = self.avgpool(x)
+        s = nn.functional.hardsigmoid(self.fc2(torch.relu(self.fc1(s))))
+        return x * s
+
+
+class _TVMNV3Block(nn.Module):
+    def __init__(self, cin, k, exp, cout, se, act, s):
+        super().__init__()
+        from interactive_unet_tpu.models.encoders import _make_divisible
+
+        Act = nn.Hardswish if act == "hardswish" else nn.ReLU
+        layers = []
+        if exp != cin:
+            layers.append(_TVCNA(cin, exp, 1, act=Act))
+        layers.append(_TVCNA(exp, exp, k, s, g=exp, act=Act))
+        if se:
+            layers.append(_TVSEV3(exp, _make_divisible(exp // 4)))
+        layers.append(_TVCNA(exp, cout, 1, act=None))
+        self.block = nn.Sequential(*layers)
+        self.use_res = s == 1 and cin == cout
+
+    def forward(self, x):
+        h = self.block(x)
+        return x + h if self.use_res else h
+
+
+class _TVMNV3(nn.Module):
+    """torchvision mobilenet_v3_large/small ``features`` geometry + keys."""
+
+    def __init__(self, variant="mobilenet_v3_large", seed=0):
+        super().__init__()
+        from interactive_unet_tpu.models.encoders import _MNV3_CONFS
+
+        torch.manual_seed(seed)
+        self.conf = _MNV3_CONFS[variant]
+        feats = [_TVCNA(3, 16, 3, 2, act=nn.Hardswish)]
+        cin = 16
+        for k, exp, c, se, act, s in self.conf:
+            feats.append(_TVMNV3Block(cin, k, exp, c, se, act, s))
+            cin = c
+        self.features = nn.Sequential(*feats)
+        _randomize_bn(self, seed + 1)
+        self.eval()
+
+    def stage_feats(self, x):
+        outs = []
+        x = self.features[0](x)
+        for i, (_k, _e, _c, _se, _a, s) in enumerate(self.conf):
+            if s == 2:
+                outs.append(x)
+            x = self.features[i + 1](x)
+        outs.append(x)
+        return [o.detach().numpy().transpose(0, 2, 3, 1) for o in outs]
+
+
+@pytest.mark.parametrize("variant", ["mobilenet_v3_large",
+                                     "mobilenet_v3_small"])
+def test_mobilenet_v3_import_activation_parity(variant):
+    import jax
+    import jax.numpy as jnp
+
+    from interactive_unet_tpu.models.encoders import TorchMobileNetV3Encoder
+
+    tm = _TVMNV3(variant, seed=17)
+    imported = TI.mobilenet_v3_to_flax(tm.state_dict(), variant=variant)
+
+    enc = TorchMobileNetV3Encoder(variant=variant, norm="none",
+                                  dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    params = enc.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"encoder": params["params"]}}
+    wrapped, n = TI.graft_encoder_params(wrapped, imported)
+    assert n >= 70   # small: stem + 11 blocks x (2-3 CNA [+ 2 SE convs])
+    params = {"params": wrapped["params"]["encoder"]}
+
+    feats = enc.apply(params, jnp.asarray(x))
+    torch_feats = tm.stage_feats(torch.tensor(x.transpose(0, 3, 1, 2)))
+    assert len(feats) == len(torch_feats) == 5
+    for i, (a, b) in enumerate(zip(feats, torch_feats)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-3,
+                                   err_msg=f"{variant} stage {i}")
+
+
 @pytest.mark.parametrize("encoder,builder", [
     ("resnet18", lambda: _TVResNet((2, 2, 2, 2), seed=5)),
     ("resnet50", lambda: _TVResNet50(seed=7)),
     ("resnext50_32x4d", lambda: _TVResNet50(groups=32, base_width=4, seed=8)),
     ("efficientnet_lite0", lambda: _TimmEffLite(seed=6)),
     ("efficientnet_b0", lambda: _TVEffNet(seed=12)),
+    ("mobilenet_v3_large", lambda: _TVMNV3(seed=14)),
     ("vgg16_bn", lambda: _tv_vgg("vgg16", bn=True, seed=9)),
 ])
 def test_pretrained_changes_init_every_ui_encoder(tmp_path, monkeypatch,
