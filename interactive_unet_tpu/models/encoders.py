@@ -278,6 +278,9 @@ class TorchBottleneckBlock(nn.Module):
 _EFFLITE_REPEATS = (1, 2, 2, 3, 3, 4, 1)
 _EFFLITE_CHANNELS = (16, 24, 40, 80, 112, 192, 320)
 _EFFLITE_STRIDES = (1, 2, 2, 2, 1, 2, 1)
+# timm arch_def kernel sizes (ds_r1_k3 / ir_r2_k3 / ir_r2_k5 / ir_r3_k3 /
+# ir_r3_k5 / ir_r4_k5 / ir_r1_k3) — lite keeps EfficientNet's 5x5 stages
+_EFFLITE_KERNELS = (3, 3, 5, 3, 5, 5, 3)
 _EFFLITE_MULT = {"efficientnet_lite0": (1.0, 1.0),
                  "efficientnet_lite1": (1.0, 1.1),
                  "efficientnet_lite2": (1.1, 1.2)}
@@ -311,8 +314,9 @@ def _efflite_arch(name: str):
 class TimmEfficientNetLiteEncoder(nn.Module):
     """timm ``tf_efficientnet_lite{0,1,2}`` geometry in folded-BN form:
     conv_stem(32)/2 + blocks.0 (depthwise-separable, no expansion) +
-    blocks.1-6 (expand-6 inverted residuals, ReLU6, no SE).  Pyramid at
-    strides (2, 4, 8, 16, 32) = after blocks 0, 1, 2, 4, 6."""
+    blocks.1-6 (expand-6 inverted residuals, ReLU6, no SE; depthwise
+    kernels per timm arch_def: 5x5 in stages 2, 4, 5, else 3x3).  Pyramid
+    at strides (2, 4, 8, 16, 32) = after blocks 0, 1, 2, 4, 6."""
 
     variant: str = "efficientnet_lite0"
     dtype: jnp.dtype = jnp.bfloat16
@@ -324,11 +328,14 @@ class TimmEfficientNetLiteEncoder(nn.Module):
         feats = []
         x = ConvNormAct(32, stride=2, dtype=self.dtype, norm=self.norm,
                         act_name="relu6")(x)                  # conv_stem+bn1
-        for stage, (r, c, s) in enumerate(zip(reps, chans, _EFFLITE_STRIDES)):
+        for stage, (r, c, s, k) in enumerate(zip(reps, chans,
+                                                 _EFFLITE_STRIDES,
+                                                 _EFFLITE_KERNELS)):
             for b in range(r):
                 stride = s if b == 0 else 1
                 expand = 1 if stage == 0 else 6
                 x = InvertedResidual(c, stride=stride, expand=expand,
+                                     kernel=k,
                                      dtype=self.dtype, norm=self.norm)(x)
             if stage in (0, 1, 2, 4, 6):
                 feats.append(x)               # strides 2, 4, 8, 16, 32

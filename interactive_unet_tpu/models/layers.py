@@ -264,6 +264,7 @@ class InvertedResidual(nn.Module):
     features: int
     stride: int = 1
     expand: int = 6
+    kernel: int = 3
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "group"
 
@@ -275,7 +276,8 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             h = ConvNormAct(mid, kernel=1, dtype=self.dtype, norm=self.norm,
                             act_name="relu6")(h)
-        h = ConvNormAct(mid, kernel=3, stride=self.stride, groups=mid,
+        h = ConvNormAct(mid, kernel=self.kernel, stride=self.stride,
+                        groups=mid,
                         dtype=self.dtype, norm=self.norm, act_name="relu6")(h)
         h = ConvNormAct(self.features, kernel=1, act=False, dtype=self.dtype,
                         norm=self.norm)(h)

@@ -303,12 +303,12 @@ class _TimmDSBlock(nn.Module):
 class _TimmIRBlock(nn.Module):
     """timm InvertedResidual, lite flavor (expand 6, ReLU6, no SE)."""
 
-    def __init__(self, cin, cout, stride):
+    def __init__(self, cin, cout, stride, k=3):
         super().__init__()
         mid = cin * 6
         self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
         self.bn1 = nn.BatchNorm2d(mid)
-        self.conv_dw = nn.Conv2d(mid, mid, 3, stride, 1, groups=mid,
+        self.conv_dw = nn.Conv2d(mid, mid, k, stride, k // 2, groups=mid,
                                  bias=False)
         self.bn2 = nn.BatchNorm2d(mid)
         self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
@@ -325,7 +325,8 @@ class _TimmIRBlock(nn.Module):
 class _TimmEffLite(nn.Module):
     def __init__(self, variant="efficientnet_lite0", seed=0):
         super().__init__()
-        from interactive_unet_tpu.models.encoders import (_EFFLITE_STRIDES,
+        from interactive_unet_tpu.models.encoders import (_EFFLITE_KERNELS,
+                                                          _EFFLITE_STRIDES,
                                                           _efflite_arch)
 
         torch.manual_seed(seed)
@@ -334,14 +335,16 @@ class _TimmEffLite(nn.Module):
         self.bn1 = nn.BatchNorm2d(32)
         stages = []
         cin = 32
-        for stage, (r, c, s) in enumerate(zip(reps, chans,
-                                              _EFFLITE_STRIDES)):
+        for stage, (r, c, s, k) in enumerate(zip(reps, chans,
+                                                 _EFFLITE_STRIDES,
+                                                 _EFFLITE_KERNELS)):
             blocks = []
             for b in range(r):
                 if stage == 0:
                     blocks.append(_TimmDSBlock(cin, c))
                 else:
-                    blocks.append(_TimmIRBlock(cin, c, s if b == 0 else 1))
+                    blocks.append(_TimmIRBlock(cin, c, s if b == 0 else 1,
+                                               k))
                 cin = c
             stages.append(nn.Sequential(*blocks))
         self.blocks = nn.Sequential(*stages)
