@@ -29,14 +29,25 @@ metric line carries ``device_ceiling_tflops``, a bf16-matmul throughput
 probe measured immediately before that metric, so a busy window is visible
 in the JSON itself.  When the opening probe reads below
 IUNET_BENCH_QUIET_TFLOPS (default 5), the bench waits up to
-IUNET_BENCH_WAIT seconds (default 1800) re-probing for a quieter window
-before proceeding (it always proceeds eventually).
+IUNET_BENCH_WAIT seconds (default 240) re-probing for a quieter window
+before proceeding.
+
+Un-droppability (round-3 postmortem: the 30-min quiet-window wait consumed
+the driver's entire timeout and ZERO metrics landed — BENCH_r03.json
+rc=124): the whole run is governed by one wall-clock deadline
+(IUNET_BENCH_DEADLINE seconds from process start, default 1560).  Every
+wait loop is bounded by the time remaining, metrics print the moment they
+are measured, the CPU-reference subprocess overlaps the TPU metrics, and a
+watchdog thread hard-exits 0 at the deadline so whatever has been emitted
+is what the driver records.  A busy window is ANNOTATED (per-line ceiling),
+never waited out.
 """
 
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -48,6 +59,32 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 WS = Path(os.environ.get("IUNET_BENCH_WS", "/tmp/iunet_bench"))
+
+_T0 = time.time()
+DEADLINE_S = float(os.environ.get("IUNET_BENCH_DEADLINE", "1560"))
+_EMITTED: list = []
+
+
+def time_left() -> float:
+    """Seconds until the bench's hard deadline."""
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def start_watchdog():
+    """Guarantee the process exits 0 at the deadline with everything
+    measured so far already flushed to stdout (each metric prints the
+    moment it is measured), no matter what a remote compile or a shared
+    device is doing."""
+    def _watch():
+        while time_left() > 0:
+            time.sleep(min(5.0, max(0.5, time_left())))
+        log(f"[watchdog] deadline {DEADLINE_S:.0f}s reached; exiting with "
+            f"{len(_EMITTED)} metric(s) emitted: {_EMITTED}")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
 
 
 def log(msg):
@@ -85,18 +122,23 @@ def probe_device_ceiling(reps: int = 6, rounds: int = 3) -> float:
     return tflops
 
 
-def wait_for_quiet_window(budget=None):
-    """Block (bounded) until the device ceiling probe clears the quiet-window
-    threshold, so the driver's absolute-target metrics aren't decided by
-    whoever else is on the shared device at that instant."""
+def wait_for_quiet_window(budget=None, reserve=900.0):
+    """Block (bounded, SHORT) until the device ceiling probe clears the
+    quiet-window threshold.  The wait is capped both by ``budget`` (env
+    IUNET_BENCH_WAIT, default 240 s) and by the global deadline minus
+    ``reserve`` (the time the remaining metrics still need) — a busy window
+    is annotated in every metric line, never waited out (round-3
+    postmortem: a 30-min wait here starved the whole bench)."""
     target = float(os.environ.get("IUNET_BENCH_QUIET_TFLOPS", "5"))
     if budget is None:
-        budget = float(os.environ.get("IUNET_BENCH_WAIT", "1800"))
+        budget = float(os.environ.get("IUNET_BENCH_WAIT", "240"))
+    budget = min(budget, time_left() - reserve)
     t0 = time.time()
     c = probe_device_ceiling()
-    log(f"[ceiling] opening probe: {c:.1f} TFLOP/s (quiet threshold {target})")
+    log(f"[ceiling] opening probe: {c:.1f} TFLOP/s (quiet threshold {target},"
+        f" wait budget {max(budget, 0):.0f}s)")
     while c < target and time.time() - t0 < budget:
-        time.sleep(30)
+        time.sleep(20)
         c = probe_device_ceiling()
         log(f"[ceiling] re-probe: {c:.1f} TFLOP/s "
             f"({time.time() - t0:.0f}s/{budget:.0f}s waited)")
@@ -108,9 +150,11 @@ def wait_for_backend() -> bool:
     remote worker crash (observed 2026-08-17: "Unable to initialize
     backend 'axon'" for an extended window).  Probe backend init in
     SUBPROCESSES — in-process jax caches the failure — until it succeeds
-    or IUNET_BENCH_DEVICE_WAIT seconds (default 2400) lapse."""
+    or IUNET_BENCH_DEVICE_WAIT seconds (default 900) lapse; always bounded
+    so the device_unavailable flag line lands before the deadline."""
     import subprocess
-    budget = float(os.environ.get("IUNET_BENCH_DEVICE_WAIT", "2400"))
+    budget = float(os.environ.get("IUNET_BENCH_DEVICE_WAIT", "900"))
+    budget = min(budget, time_left() - 120)
     t0 = time.time()
     while True:
         try:
@@ -140,6 +184,7 @@ def wait_for_backend() -> bool:
 
 
 def emit(metric, value, unit, vs_baseline):
+    _EMITTED.append(metric)
     print(json.dumps({"metric": metric, "value": round(float(value), 3),
                       "unit": unit,
                       "vs_baseline": round(float(vs_baseline), 2),
@@ -260,7 +305,11 @@ def make_workspace():
     slicer = Slicer(vol.shape, seed=2)
     for _ in range(4):
         slicer.randomize()
-        img = slicer.get_slice(vol, slice_width=512, order=1).astype(np.uint8)
+        # host-side scipy slice (NOT slicer.get_slice, whose gather runs on
+        # the device): this build runs in a background thread concurrent
+        # with the timed slice metric and must not contend for the TPU
+        coords = slicer.get_interpolation_coords(slice_width=512)[0]
+        img = ndi.map_coordinates(vol, coords, order=1).astype(np.uint8)
         mask = np.zeros((512, 512, 3), np.uint8)
         mask[img > 110] = C.COLORS[2]
         mask[img <= 110] = C.COLORS[1]
@@ -284,7 +333,7 @@ def bench_retrain():
     log(f"[retrain] first: {time.perf_counter() - t0:.1f} s")
     probe_device_ceiling()
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         out = train_model(**kwargs)
         times.append(time.perf_counter() - t0)
@@ -326,9 +375,19 @@ def bench_suggestor():
 # ---------------------------------------------------------------------------
 
 _CPU_RUNNER = r"""
-import json, os, sys, time
+import json, os, sys, time, hashlib
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+# per-CPU-signature cache dir: XLA:CPU caches host machine code and these
+# VMs migrate across host types — a foreign AOT entry can SIGILL (same
+# guard as tests/conftest.py)
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next(ln for ln in f if ln.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    "/tmp/jax_cache_cpu_" + hashlib.sha1(_flags.encode()).hexdigest()[:12])
 sys.path.insert(0, sys.argv[1])
 ws = sys.argv[2]
 from interactive_unet_tpu.engine.predict import predict_volumes
@@ -351,15 +410,19 @@ print(json.dumps({"seconds": min(times), "all_seconds": times,
 """
 
 
-def bench_inference():
+def start_cpu_reference():
+    """Prepare the 128^3 crop workspaces and LAUNCH the CPU-reference
+    subprocess in the background so it overlaps the TPU-side metrics
+    (suggestor + TPU 128^3 + 512^3 program warm) instead of serializing
+    after them.  The subprocess gets its OWN workspace copy (ws_cpu) so its
+    prediction writes can never race the TPU run's (both write
+    predicted_volumes/crop.zarr).  Returns (popen, ws_small, ws_cpu)."""
     import shutil
 
     from interactive_unet_tpu import storage
-    from interactive_unet_tpu.engine.predict import predict_volumes
-    from interactive_unet_tpu.ops import blending
 
-    # -- small CPU-reference workspace (128^3 crop of the bench volume) ----
     ws_small = WS / "small"
+    ws_cpu = WS / "small_cpu"
     if not (ws_small / "data" / "image_volumes" / "crop.zarr").is_dir():
         from interactive_unet_tpu.engine import samples as S
         S.create_directories(ws_small)
@@ -371,6 +434,24 @@ def bench_inference():
     from interactive_unet_tpu.engine import checkpoint as _ck
     _ck.wait_pending()  # retrain's background save must land before the copy
     shutil.copytree(WS / "model", ws_small / "model", dirs_exist_ok=True)
+    for sub in ("data/image_volumes", "model"):
+        shutil.copytree(ws_small / sub, ws_cpu / sub, dirs_exist_ok=True)
+    (ws_cpu / "data" / "predicted_volumes").mkdir(parents=True, exist_ok=True)
+
+    log("[infer] launching CPU reference on 128^3 (background subprocess)...")
+    proc = subprocess.Popen([sys.executable, "-c", _CPU_RUNNER, str(REPO),
+                             str(ws_cpu)], stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True,
+                            env=dict(os.environ))
+    return proc, ws_small, ws_cpu
+
+
+def bench_inference(cpu_ref):
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine.predict import predict_volumes
+    from interactive_unet_tpu.ops import blending
+
+    proc, ws_small, ws_cpu = cpu_ref
 
     # TPU on the 128^3 crop (for Dice parity + CPU scaling)
     predict_volumes(input_size=128, num_classes=2, root=ws_small)
@@ -381,21 +462,24 @@ def bench_inference():
         ws_small / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
     log(f"[infer] TPU 128^3: {t_tpu_small:.1f} s ({r[0]['blocks']} blocks)")
 
-    # CPU reference subprocess (same pipeline, cpu backend)
-    log("[infer] measuring CPU reference on 128^3 (subprocess)...")
-    env = dict(os.environ)
-    proc = subprocess.run([sys.executable, "-c", _CPU_RUNNER, str(REPO),
-                           str(ws_small)], capture_output=True, text=True,
-                          env=env, timeout=3600)
+    # collect the CPU reference subprocess (launched before the suggestor
+    # metric; usually already finished by now)
+    log("[infer] collecting CPU reference result...")
+    try:
+        out, err = proc.communicate(timeout=max(60, time_left() - 420))
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, err = proc.communicate()
+        log("[infer] CPU reference subprocess timed out near the deadline")
     if proc.returncode != 0:
-        log(proc.stderr[-2000:])
+        log((err or "")[-2000:])
         sys.exit(1)
-    cpu = json.loads(proc.stdout.strip().splitlines()[-1])
+    cpu = json.loads(out.strip().splitlines()[-1])
     t_cpu_small = cpu["seconds"]
     log(f"[infer] CPU 128^3: {t_cpu_small:.1f} s "
         f"(min of {cpu.get('all_seconds', [t_cpu_small])})")
     cpu_small = np.asarray(storage.read_volume(
-        ws_small / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
+        ws_cpu / "data" / "predicted_volumes" / "crop.zarr", level=0)[:])
 
     # Dice parity gate TPU vs CPU (class masks from channel argmax)
     a = np.argmax(tpu_small, axis=-1)
@@ -450,9 +534,9 @@ def bench_inference():
 
     log(f"[infer] TPU 512^3 run (block {block})...")
     # the most capacity-sensitive metric runs last, often long after the
-    # opening probe — re-wait (bounded, shorter) if the window went busy
-    wait_for_quiet_window(budget=float(
-        os.environ.get("IUNET_BENCH_WAIT2", "600")))
+    # opening probe — re-probe so the metric line annotates THIS window
+    # (never wait here: round 3 starved on exactly that)
+    probe_device_ceiling()
     t0 = time.perf_counter()
     r = predict_volumes(input_size=block, num_classes=2, root=WS)
     t_tpu = time.perf_counter() - t0
@@ -464,6 +548,7 @@ def bench_inference():
     t_cpu_512 = t_cpu_small * (voxels / 128 ** 3)
     log(f"[infer] TPU 512^3: {t_tpu:.1f} s ({r[0]['blocks']} blocks); "
         f"CPU extrapolated: {t_cpu_512:.0f} s")
+    log(f"[infer] spans: {r[0].get('timings')}")
     emit("fullvolume_inference_512", voxels / t_tpu / 1e6, "Mvoxels/s",
          t_cpu_512 / t_tpu)
 
@@ -474,7 +559,8 @@ def bench_inference():
     # fails the bench.
     quiet = float(os.environ.get("IUNET_BENCH_QUIET_TFLOPS", "5"))
     if (os.environ.get("IUNET_BENCH_TRY_512", "1") != "0"
-            and block != 512 and (_LAST_CEILING[0] or 0) >= quiet):
+            and block != 512 and (_LAST_CEILING[0] or 0) >= quiet
+            and time_left() > 420):
         try:
             import traceback
             log("[infer] quiet window: attempting single-512-block run...")
@@ -508,6 +594,22 @@ def main():
         c = probe_device_ceiling()
         emit("device_ceiling", c, "TFLOP/s", 1.0)
         return
+    start_watchdog()
+
+    # the workspace build (512^3 synthetic volume + 4 samples) is pure host
+    # work — overlap it with the backend probe and the opening quiet wait
+    ws_thread = None
+    ws_err: list = []
+    if {"retrain", "suggestor", "inference"} & set(which):
+        def _build_ws():
+            try:
+                make_workspace()
+            except BaseException as e:  # surfaced at join
+                ws_err.append(e)
+
+        ws_thread = threading.Thread(target=_build_ws, daemon=True)
+        ws_thread.start()
+
     if not wait_for_backend():
         # still emit the one JSON line the driver expects, flagged so a
         # dead-tunnel window is distinguishable from a slow build
@@ -520,13 +622,13 @@ def main():
 
     failed = []
 
-    def run(name, fn):
+    def run(name, fn, *args):
         """A parity-gate sys.exit inside a metric still aborts the whole
         bench (gates are hard); infrastructure errors (tunnel drops, remote
         compile crashes) skip to the next metric so partial results land."""
         import traceback
         try:
-            fn()
+            fn(*args)
         except SystemExit:
             raise
         except Exception:
@@ -535,14 +637,28 @@ def main():
 
     if "slice" in which:
         run("slice", bench_slice_sampling)
-    if {"retrain", "suggestor", "inference"} & set(which):
-        make_workspace()
+    if ws_thread is not None:
+        ws_thread.join()
+        if ws_err:
+            raise ws_err[0]
     if "retrain" in which:
         run("retrain", bench_retrain)
+    cpu_ref = None
+    if "inference" in which:
+        # launch the CPU-reference subprocess NOW so it overlaps the
+        # suggestor metric and the inference program warms (needs the
+        # retrain's checkpoint, hence after bench_retrain)
+        try:
+            cpu_ref = start_cpu_reference()
+        except Exception:
+            import traceback
+            log(f"[inference] CPU-ref launch FAILED:\n"
+                f"{traceback.format_exc(limit=5)}")
+            failed.append("inference")
     if "suggestor" in which:
         run("suggestor", bench_suggestor)
-    if "inference" in which:
-        run("inference", bench_inference)
+    if cpu_ref is not None:
+        run("inference", bench_inference, cpu_ref)
     if failed:
         log(f"metrics failed: {failed}")
         sys.exit(1)
