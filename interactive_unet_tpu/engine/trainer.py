@@ -345,12 +345,46 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
     best_params = jax.tree_util.tree_map(jnp.copy, params)
     best_val = jnp.asarray(jnp.inf)
     names = ("Loss", "Dice", "IoU", "MCC")
-    # All epoch dispatches are queued WITHOUT an intermediate device->host
-    # sync (jax async dispatch pipelines them through the runtime; a per-
-    # epoch np.asarray would pay one tunnel round-trip per epoch — measured
-    # ~0.3-1 s each).  Streaming callers (live plot) can pass `progress` to
-    # opt back into per-epoch syncing.
-    epoch_logs = []
+    # All epoch dispatches are queued WITHOUT a blocking device->host sync
+    # on this thread (jax async dispatch pipelines them through the runtime;
+    # a per-epoch np.asarray here would pay one tunnel round-trip per epoch
+    # — measured ~0.3-1 s each).  Instead each chunk's (epochs, 8) metric
+    # table is handed to a WRITER THREAD whose device_get blocks only
+    # itself: metrics.csv grows per chunk DURING the run (the reference
+    # streams one CSV row per epoch and the UI polls it every 2 s —
+    # trainer.py:52, app.py:286), while the click's critical path stays
+    # sync-free until the final best_val fetch.
+    import queue as _queue
+    import threading as _threading
+
+    logs_q: _queue.Queue = _queue.Queue()
+    writer_err: list = []
+
+    def _csv_writer():
+        epoch = 0
+        while True:
+            item = logs_q.get()
+            if item is None:
+                return
+            try:
+                rows = np.asarray(jax.device_get(item))
+            except Exception as e:  # surfaced after join
+                writer_err.append(e)
+                return
+            for row in rows:
+                if epoch >= cfg.epochs:
+                    break
+                train_row = dict(zip(names, map(float, row[:4])))
+                val_row = dict(zip(names, map(float, row[4:])))
+                logger.log_epoch(epoch, (epoch + 1) * steps_per_epoch,
+                                 train_row, val_row)
+                history.append({"epoch": epoch, "train": train_row,
+                                "val": val_row})
+                epoch += 1
+
+    writer = _threading.Thread(target=_csv_writer, daemon=True)
+    writer.start()
+
     remaining = cfg.epochs
     while remaining > 0:
         this = min(remaining, epochs_per_call)
@@ -361,28 +395,18 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
         params, opt_state, best_params, best_val, logs = epoch_fn(
             params, opt_state, best_params, best_val, sub, *data,
             jnp.int32(n_tr), jnp.int32(n_va))
-        epoch_logs.append(logs)
+        logs_q.put(logs)
         remaining -= this
-        if progress is not None:
+        if progress is not None:  # explicit per-chunk sync for live callers
             row = np.asarray(logs[0])
             progress(cfg.epochs - remaining - 1, cfg.epochs,
                      dict(zip(names, map(float, row[:4]))),
                      dict(zip(names, map(float, row[4:]))))
-    # ONE device->host transfer for the whole run's metric table + best
-    # val loss (each np.asarray is a full tunnel round-trip otherwise)
-    if epoch_logs:
-        logs_cat, best_val_host = jax.device_get(
-            (jnp.concatenate(epoch_logs, axis=0), best_val))
-    else:
-        logs_cat, best_val_host = np.zeros((0, 8), np.float32), \
-            jax.device_get(best_val)
-    all_rows = np.asarray(logs_cat)[:cfg.epochs]
-    for epoch, row in enumerate(all_rows):
-        train_row = dict(zip(names, map(float, row[:4])))
-        val_row = dict(zip(names, map(float, row[4:])))
-        logger.log_epoch(epoch, (epoch + 1) * steps_per_epoch, train_row,
-                         val_row)
-        history.append({"epoch": epoch, "train": train_row, "val": val_row})
+    logs_q.put(None)
+    writer.join()
+    if writer_err:
+        raise writer_err[0]
+    best_val_host = jax.device_get(best_val)
 
     # persist the best-val-loss params (ModelCheckpoint semantics) in the
     # background: the 31 MB d2h + write are off the click's critical path;
