@@ -14,3 +14,4 @@ del _ecc
 
 from .mesh import make_mesh, batch_sharding, replicated  # noqa: F401
 from .train import make_sharded_train_step  # noqa: F401
+from .infer import make_sharded_block_predictor  # noqa: F401
