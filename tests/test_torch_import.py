@@ -322,12 +322,34 @@ class _TimmIRBlock(nn.Module):
         return x + h if self.has_res else h
 
 
+# Independent ground truth for the lite arch (ADVICE r3: do NOT import the
+# constants from the module under test).  timm's tf_efficientnet_lite
+# arch_def: ds_r1_k3_s1_e1_c16 / ir_r2_k3_s2_e6_c24 / ir_r2_k5_s2_e6_c40 /
+# ir_r3_k3_s2_e6_c80 / ir_r3_k5_s1_e6_c112 / ir_r4_k5_s2_e6_c192 /
+# ir_r1_k3_s1_e6_c320 (timm/models/efficientnet.py, _gen_efficientnet_lite).
+_TIMM_LITE_KERNELS = (3, 3, 5, 3, 5, 5, 3)
+_TIMM_LITE_STRIDES = (1, 2, 2, 2, 1, 2, 1)
+_TIMM_LITE_REPEATS = (1, 2, 2, 3, 3, 4, 1)
+_TIMM_LITE_CHANNELS = (16, 24, 40, 80, 112, 192, 320)
+
+
+def test_efflite_arch_constants_match_timm():
+    """The encoder's arch tables must equal timm's published lite arch_def
+    (hard-coded above as independent ground truth, not re-imported)."""
+    from interactive_unet_tpu.models import encoders as E
+
+    assert E._EFFLITE_KERNELS == _TIMM_LITE_KERNELS
+    assert E._EFFLITE_STRIDES == _TIMM_LITE_STRIDES
+    assert E._EFFLITE_REPEATS == _TIMM_LITE_REPEATS
+    assert E._EFFLITE_CHANNELS == _TIMM_LITE_CHANNELS
+
+
 class _TimmEffLite(nn.Module):
     def __init__(self, variant="efficientnet_lite0", seed=0):
         super().__init__()
-        from interactive_unet_tpu.models.encoders import (_EFFLITE_KERNELS,
-                                                          _EFFLITE_STRIDES,
-                                                          _efflite_arch)
+        from interactive_unet_tpu.models.encoders import _efflite_arch
+        _EFFLITE_KERNELS = _TIMM_LITE_KERNELS
+        _EFFLITE_STRIDES = _TIMM_LITE_STRIDES
 
         torch.manual_seed(seed)
         reps, chans = _efflite_arch(variant)
