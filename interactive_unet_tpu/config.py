@@ -4,7 +4,8 @@ The reference has no config system (SURVEY §5.6): configuration is UI widget
 state plus values inferred from saved data (input size from the first mask's
 shape, utils.py:148-158; num_classes from unique colors - 1, utils.py:160-170).
 Here the same knobs live in one explicit dataclass, with the same
-inference-from-data fallbacks implemented in engine.workspace.
+inference-from-data fallbacks implemented in engine/samples.py
+(get_num_classes / get_input_size).
 """
 
 from __future__ import annotations
@@ -31,6 +32,13 @@ class TrainConfig:
     architecture: str = "U-Net"
     encoder_name: str = "cnn_m"
     pretrained: bool = False
+    # Reslice augmentation: extend the training set with fresh random
+    # oriented reslices of the annotation volumes (the reference wires this
+    # in loader.py:48-82 but its UNetDataset never indexes the resliced
+    # list, so the feature is dead there; here it works end-to-end and adds
+    # reslice_factor x len(samples) extra views per run).
+    reslice: bool = False
+    reslice_factor: int = 2
     # TPU additions
     compute_dtype: str = "bfloat16"  # reference uses 16-mixed (trainer.py:59)
     data_parallel: int = 1           # mesh size along the batch axis

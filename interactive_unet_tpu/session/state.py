@@ -223,6 +223,7 @@ class SessionState:
                     loss_function_name=cfg.loss_function_name,
                     architecture=cfg.architecture,
                     encoder_name=cfg.encoder_name, pretrained=cfg.pretrained,
+                    reslice=cfg.reslice, reslice_factor=cfg.reslice_factor,
                     root=str(self.root))
 
     def save_model_details(self):
@@ -428,6 +429,8 @@ class SessionState:
                 "lr": self.train_config.lr,
                 "epochs": self.train_config.epochs,
                 "batch_size": self.train_config.batch_size,
+                "reslice": self.train_config.reslice,
+                "reslice_factor": self.train_config.reslice_factor,
             },
         }
 

@@ -360,3 +360,44 @@ def test_set_action_rejects_geometry_edits_once_locked(tiny_ws):
             await client.close()
 
     asyncio.run(scenario())
+
+
+def test_reslice_option_reaches_trainer_kwargs(tiny_ws):
+    """The reslice-training toggle is a UI-settable TrainConfig knob that
+    flows into train_model kwargs (the reference wires reslice in
+    loader.py:48-82 but never consumes it; here the working path is
+    user-reachable end to end)."""
+    import asyncio
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        st = app["state"]
+        kw = st.train_kwargs()
+        assert kw["reslice"] is False and kw["reslice_factor"] == 2
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # checkbox sends a real bool; number input sends a string
+            r = await client.post("/action", json={
+                "name": "set", "values": {"reslice": True,
+                                          "reslice_factor": "3"}})
+            s = (await r.json())["status"]
+            assert s["train_config"]["reslice"] is True
+            assert s["train_config"]["reslice_factor"] == 3
+            kw = st.train_kwargs()
+            assert kw["reslice"] is True and kw["reslice_factor"] == 3
+            # reslice stays a LIVE knob after a checkpoint locks geometry
+            (tiny_ws / "model").mkdir(exist_ok=True)
+            (tiny_ws / "model" / "model.ckpt").write_bytes(b"x")
+            r = await client.post("/action", json={
+                "name": "set", "values": {"reslice": False}})
+            assert (await r.json())["ok"]
+            assert st.train_config.reslice is False
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
