@@ -38,21 +38,20 @@ LANES = 128     # 4 segments * 31 = 124, padded to the TPU lane width
 
 
 def packed_nbytes(shape) -> int:
-    """Device bytes the packed table for a (D,H,W) volume will occupy
-    (~4.6x the uint8 volume) — for HBM-capacity guards before packing."""
+    """Device bytes the packed table for a (D,H,W)[,C] volume will occupy
+    (~4.6x the uint8 volume, x C for multi-channel) — for HBM-capacity
+    guards before packing."""
     D, H, W = (int(s) for s in shape[:3])
+    C = int(shape[3]) if len(shape) == 4 else 1
     nzb = max(1, -(-(W - 1) // B))
-    return max(D - 1, 0) * max(H - 1, 0) * nzb * LANES
+    return max(D - 1, 0) * max(H - 1, 0) * nzb * LANES * C
 
 
-def pack_volume(volume) -> jax.Array:
-    """(D,H,W) -> packed uint8 table ((D-1)*(H-1)*NZB, 128).
-
-    Rows are indexed by (x0 * (H-1) + y0) * NZB + z0 // B.
-    """
-    vol = jnp.asarray(volume)
+def _pack_body(vol):
+    """(D,H,W) uint8-castable -> ((D-1)*(H-1)*NZB, 128) uint8 table."""
     if vol.dtype != jnp.uint8:
-        vol = jnp.clip(jnp.round(vol.astype(jnp.float32)), 0, 255).astype(jnp.uint8)
+        vol = jnp.clip(jnp.round(vol.astype(jnp.float32)),
+                       0, 255).astype(jnp.uint8)
     D, H, W = vol.shape
     nzb = max(1, -(-(W - 1) // B))  # blocks covering z0 in [0, W-2]
     zidx = jnp.clip(
@@ -69,8 +68,24 @@ def pack_volume(volume) -> jax.Array:
     return packed.reshape(-1, LANES)
 
 
-@partial(jax.jit, static_argnames=("order", "D", "H", "W"))
-def _extract(packed, coords, order, D, H, W):
+_pack3 = jax.jit(_pack_body)
+_pack4 = jax.jit(jax.vmap(_pack_body, in_axes=-1))
+
+
+def pack_volume(volume) -> jax.Array:
+    """(D,H,W) -> packed uint8 table ((D-1)*(H-1)*NZB, 128);
+    (D,H,W,C) -> (C, rows, 128) per-channel tables.
+
+    Rows are indexed by (x0 * (H-1) + y0) * NZB + z0 // B.  The whole pack
+    is ONE jit-compiled program: the eager op-by-op version paid ~12
+    dispatch round-trips through the remote-device tunnel per volume plus
+    HBM writes for every intermediate.  Accepts host arrays or an
+    already-device-resident jax.Array (no second h2d in that case)."""
+    vol = jnp.asarray(volume)
+    return _pack4(vol) if vol.ndim == 4 else _pack3(vol)
+
+
+def _extract_one(packed, coords, order, D, H, W):
     """Edge semantics are EXACTLY scipy map_coordinates(mode='constant',
     cval=0): a sample whose coordinate leaves [0, n-1] on any axis is cval —
     scipy does not blend cval into boundary-grazing samples (verified;
@@ -111,6 +126,21 @@ def _extract(packed, coords, order, D, H, W):
 
     out = jnp.sum(rows * w, axis=-1)
     return jnp.where(valid, out, 0.0)
+
+
+def _extract_any(packed, coords, order, D, H, W):
+    """Single-table (rows, 128) -> (...); per-channel (C, rows, 128) ->
+    (..., C) — channel count is static at trace time, so the vmap costs
+    nothing for plain 3-D volumes."""
+    if packed.ndim == 3:
+        out = jax.vmap(lambda p: _extract_one(p, coords, order, D, H, W)
+                       )(packed)
+        return jnp.moveaxis(out, 0, -1)
+    return _extract_one(packed, coords, order, D, H, W)
+
+
+_extract = partial(jax.jit, static_argnames=("order", "D", "H", "W"))(
+    _extract_any)
 
 
 def _oriented_coords(basis_a, basis_b, origin, slice_width):
@@ -154,10 +184,16 @@ def _extract_oriented_batch(packed, basis_a, basis_b, origin, order, D, H, W,
 
 
 class PackedVolume:
-    """Device-resident packed volume for repeated fast slice extraction."""
+    """Device-resident packed volume for repeated fast slice extraction.
+
+    A (D,H,W,C) volume packs one table per channel; every extraction then
+    returns a trailing channel axis ((..., C))."""
 
     def __init__(self, volume):
-        self.shape = tuple(int(s) for s in volume.shape)
+        self.shape = tuple(int(s) for s in volume.shape[:3])
+        self.channels = (int(volume.shape[3])
+                         if getattr(volume, "ndim", len(volume.shape)) == 4
+                         else None)
         self.packed = pack_volume(volume)
         self.packed.block_until_ready()
 

@@ -52,3 +52,37 @@ def test_small_volume():
     expected = ndimage.map_coordinates(vol.astype(np.float32), coords, order=1)
     got = np.asarray(pv.extract(coords, order=1))
     np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+@pytest.mark.parametrize("order", [0, 1])
+def test_parity_multichannel(rng, order):
+    """A (D,H,W,C) volume packs per-channel tables; extraction returns a
+    trailing channel axis with exact per-channel scipy parity (VERDICT r3
+    #6: 4-D volumes used to fall back to host slicing)."""
+    vol = (rng.random((17, 19, 23, 3)) * 255).astype(np.uint8)
+    pv = PackedVolume(vol)
+    assert pv.channels == 3 and pv.shape == (17, 19, 23)
+    coords = (rng.random((3, 12, 12)) * 1.2 - 0.1) * \
+        np.array([17, 19, 23])[:, None, None]
+    got = np.asarray(pv.extract(coords, order=order))
+    assert got.shape == (12, 12, 3)
+    for c in range(3):
+        expected = ndimage.map_coordinates(vol[..., c].astype(np.float32),
+                                           coords, order=order)
+        np.testing.assert_allclose(got[..., c], expected, atol=1e-3)
+
+
+def test_multichannel_oriented_batch(rng):
+    vol = (rng.random((24, 24, 24, 2)) * 255).astype(np.uint8)
+    pv = PackedVolume(vol)
+    sl = Slicer(vol.shape[:3], seed=5)
+    out = pv.extract_oriented_batch(
+        np.stack([sl.v, sl.v]), np.stack([sl.w, sl.w]),
+        np.stack([sl.origin, sl.origin]), 16, order=1)
+    assert np.asarray(out).shape == (2, 16, 16, 2)
+    coords = sl.get_interpolation_coords(slice_width=16)[0]
+    for c in range(2):
+        expected = ndimage.map_coordinates(vol[..., c].astype(np.float32),
+                                           coords, order=1)
+        np.testing.assert_allclose(np.asarray(out)[0, ..., c], expected,
+                                   atol=1e-3)
