@@ -63,11 +63,6 @@ class _CanonicalConv3x3(nn.Module):
         if self.packed_in:
             y = packconv.packed_conv3x3_packed_input(
                 x.astype(self.dtype), kernel.astype(self.dtype), self.stride)
-        elif (os.environ.get("IUNET_PALLAS_CONV", "0") == "1"
-                and self.stride == 1):
-            from ..ops.pallas_conv import packed_conv3x3_pallas
-            y = packed_conv3x3_pallas(x.astype(self.dtype),
-                                      kernel.astype(self.dtype))
         else:
             y = packconv.packed_conv3x3(
                 x.astype(self.dtype), kernel.astype(self.dtype), self.stride)

@@ -33,9 +33,14 @@ statistics and per-channel affines apply to packed tensors by repeating the
 unpacked tensor (the reduction set is the same pixels).
 
 Everything here is pure XLA (conv_general_dilated + reshapes), fully
-differentiable, and exact up to float reassociation vs the plain conv.  A
-fused Pallas variant of the packed conv lives in ops/pallas_conv.py; both
-compute the identical function (tests/test_packconv.py).
+differentiable, and exact up to float reassociation vs the plain conv.
+A fused Pallas im2col variant of the packed conv was built and validated
+bit-exact standalone on hardware, but any pallas_call embedded in a larger
+jitted program kernel-faults this image's tunnel runtime (reproduced across
+rounds 3-4, including with optimization_barrier'd operands refuting the
+operand-layout hypothesis), and XLA's own lowering of the embedded conv
+already matches the kernel's schedule — so the kernel was removed
+(docs/PERFORMANCE.md "Pallas postmortem") and XLA is the only path.
 """
 
 from __future__ import annotations

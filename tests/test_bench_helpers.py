@@ -53,13 +53,3 @@ def test_emit_contract(capsys):
     assert d == {"metric": "test_metric", "value": 1.235,
                  "unit": "things/s", "vs_baseline": 2.35,
                  "device_ceiling_tflops": 7.5}
-
-
-def test_pallas_row_tile_even_divisor():
-    from interactive_unet_tpu.ops.pallas_conv import _pick_row_tile
-
-    th = _pick_row_tile(256, 512, 32, 32)
-    assert th > 0 and th % 2 == 0 and 256 % th == 0
-    # odd h2 has no even divisor -> 0 signals the XLA fallback
-    assert _pick_row_tile(257, 512, 32, 32) == 0
-    assert _pick_row_tile(255, 512, 32, 32) == 0

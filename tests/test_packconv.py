@@ -210,57 +210,6 @@ def test_gradients_flow_and_match(rng, monkeypatch):
                                    atol=2e-3, rtol=1e-3)
 
 
-def test_pallas_kernel_matches_xla(rng):
-    """The fused Pallas im2col kernel (interpret mode on CPU) computes the
-    identical packed conv, incl. the fused bias+relu epilogue."""
-    from interactive_unet_tpu.ops.pallas_conv import pallas_packed_conv3x3
-
-    x = jnp.asarray(rng.normal(size=(2, 16, 16, 5)), jnp.float32)
-    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
-    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
-    ref = PC.packed_conv3x3(x, w, 1)
-    got = pallas_packed_conv3x3(x, w, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-    ref2 = jnp.maximum(ref + PC.repeat_channels(b), 0)
-    got2 = pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-4)
-
-
-def test_pallas_multi_tile_matches_xla(rng, monkeypatch):
-    """The pipelined multi-tile schedule computes the identical packed
-    conv.  Forcing a 2-row tile on a 16-row output makes T=8 tiles,
-    exercising the staged halo blocks across tile boundaries; TH=16 covers
-    the single-tile edge."""
-    from interactive_unet_tpu.ops import pallas_conv as PLC
-
-    x = jnp.asarray(rng.normal(size=(2, 32, 16, 5)), jnp.float32)
-    w = jnp.asarray(rng.normal(size=(3, 3, 5, 7)), jnp.float32)
-    b = jnp.asarray(rng.normal(size=(7,)), jnp.float32)
-    ref = jnp.maximum(PC.packed_conv3x3(x, w, 1) + PC.repeat_channels(b), 0)
-    monkeypatch.setattr(PLC, "_ROW_TILE_OVERRIDE", 2)
-    got = PLC.pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
-    monkeypatch.setattr(PLC, "_ROW_TILE_OVERRIDE", 16)
-    got1 = PLC.pallas_packed_conv3x3(x, w, bias=b, relu=True, interpret=True)
-    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref), atol=1e-4)
-
-
-def test_pallas_path_in_convnormact(rng, monkeypatch):
-    """IUNET_PALLAS_CONV=1 routes ConvNormAct through the Pallas kernel with
-    working gradients (custom_vjp -> XLA backward)."""
-    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
-    m = ConvNormAct(8, dtype=jnp.float32)
-    monkeypatch.setenv("IUNET_PALLAS_CONV", "1")
-    p = m.init(jax.random.key(0), x)
-    a = np.asarray(m.apply(p, x))
-    g = jax.grad(lambda p: jnp.sum(jnp.square(m.apply(p, x))))(p)
-    assert all(np.isfinite(np.asarray(l)).all()
-               for l in jax.tree_util.tree_leaves(g))
-    monkeypatch.setenv("IUNET_PALLAS_CONV", "0")
-    b = np.asarray(m.apply(p, x))
-    np.testing.assert_allclose(a, b, atol=1e-4)
-
-
 def test_full_model_layout_equivalence(rng, monkeypatch):
     """The flagship U-Net computes the same function in both layouts."""
     from interactive_unet_tpu.models import build_model
