@@ -272,25 +272,36 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
     def step(acc, wacc, block_u8, i0, j0, k0):
         return _step(params, acc, wacc, block_u8, i0, j0, k0)
 
+    _fin_cache: dict = {}
+
     def finalize(acc, wacc, off, shape):
-        """Crop to the volume, normalize, cast — on device; one uint8 d2h.
+        """Crop ``shape`` at ``off``, normalize, cast — on device; one uint8
+        d2h.  Called once for the whole volume, or per row-slab by the
+        streaming path in ``predict_volumes`` (the jit is cached per
+        (off, shape) so slab calls don't retrace).
 
         No buffer donation here: the f32 accumulators can never alias the
         uint8 output (XLA would warn 'donated buffers were not usable' and
         copy anyway); they are freed when the caller drops its references.
         The per-block ``step`` IS donating — that is the path where an
         unusable donation would cost a fresh multi-GB accumulator copy."""
-        sl = tuple(slice(int(o), int(o) + int(s)) for o, s in zip(off, shape))
+        key = tuple(int(s) for s in shape)  # offsets are runtime args, so
+        if key not in _fin_cache:           # one program serves every slab
 
-        @jax.jit
-        def _fin(acc, wacc):
-            p = acc[sl + (slice(None),)]
-            w = jnp.maximum(wacc[sl], 1e-3)
-            # truncating cast — bit-identical to the host path's
-            # (255*p/w).astype("uint8")
-            return jnp.clip(255.0 * p / w[..., None], 0, 255).astype(jnp.uint8)
+            @jax.jit
+            def _fin(acc, wacc, i0, j0, k0):
+                p = jax.lax.dynamic_slice(
+                    acc, (i0, j0, k0, 0), (*key, acc.shape[-1]))
+                w = jnp.maximum(
+                    jax.lax.dynamic_slice(wacc, (i0, j0, k0), key), 1e-3)
+                # truncating cast — bit-identical to the host path's
+                # (255*p/w).astype("uint8")
+                return jnp.clip(255.0 * p / w[..., None], 0,
+                                255).astype(jnp.uint8)
 
-        return _fin(acc, wacc)
+            _fin_cache[key] = _fin
+        i0, j0, k0 = (jnp.int32(int(o)) for o in off)
+        return _fin_cache[key](acc, wacc, i0, j0, k0)
 
     def init():
         e = tuple(int(v) for v in ext)
@@ -381,29 +392,94 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
             pb = blending.get_padded_block(volume, *padded_coords[idx])
             return jax.device_put(jnp.asarray(pb, jnp.uint8))
 
-        def run_blocks(consume):
+        def run_blocks(consume, depth=2):
             """Prefetch-pipelined block loop shared by both accumulator
-            paths: the worker thread reads+pads block idx+1 while
-            ``consume(idx, block)`` handles block idx.  A fresh executor per
-            call so an OOM-laddered retry gets a live one."""
-            prefetcher = ThreadPoolExecutor(max_workers=1)
-            pending = prefetcher.submit(fetch, 0)
-            for idx in range(len(padded_coords)):
+            paths: worker threads read+pad+upload up to ``depth`` blocks
+            ahead while ``consume(idx, block)`` handles block idx (depth 2
+            because a single worker's zstd decode sometimes lags the device
+            — 11.3 s of read_block stall in the round-4 512^3 profile).  A
+            fresh executor per call so an OOM-laddered retry gets a live
+            one."""
+            n = len(padded_coords)
+            prefetcher = ThreadPoolExecutor(max_workers=depth)
+            pending = [prefetcher.submit(fetch, i)
+                       for i in range(min(depth, n))]
+            for idx in range(n):
                 with timer.span("read_block"):
-                    pb = pending.result()
-                if idx + 1 < len(padded_coords):
-                    pending = prefetcher.submit(fetch, idx + 1)
+                    pb = pending.pop(0).result()
+                if idx + depth < n:
+                    pending.append(prefetcher.submit(fetch, idx + depth))
                 consume(idx, pb)
                 if progress is not None:
-                    progress(idx + 1, len(padded_coords))
+                    progress(idx + 1, n)
             prefetcher.shutdown(wait=False)
 
         def attempt_device(bs_try):
-            """Device-accumulator path; raises on OOM (caller ladders)."""
+            """Device-accumulator path; raises on OOM (caller ladders).
+
+            Slab-streamed finalize: the output is cut into shard-aligned
+            row slabs along axis 0, and as soon as no remaining block can
+            touch a slab (blocks tile axis-0-outermost), that slab is
+            normalized on device, its uint8 d2h transfer is started
+            asynchronously, and a writer thread lands its shards — all
+            while later blocks are still accumulating.  At 512^3 this
+            hides most of the 268 MB d2h (formerly a serial ~28 s tail
+            through the tunnel) behind the ~29 s accumulate phase."""
+            from collections import defaultdict
+
+            from joblib import Parallel, delayed
+
             init, step, finalize, bs = make_device_accumulator(
                 model, params, input_size, num_classes, pad_ext,
                 bs_try, axes, window)
             acc, wacc = init()
+
+            # slab plan: output rows [a, b) per shard row, and the last
+            # block index whose padded extent intersects each slab
+            n0 = int(in_shape[0])
+            slab_bounds = [(a, min(a + shard_size, n0))
+                           for a in range(0, n0, shard_size)]
+            off0 = int(pad_off[0])
+            p0 = padded_coords[:, 0] + off0  # block row range in padded space
+            p1 = padded_coords[:, 3] + off0
+            ready_at = defaultdict(list)     # block idx -> slabs finalizable
+            for s, (a, b) in enumerate(slab_bounds):
+                touching = np.nonzero((p0 < b + off0) & (p1 > a + off0))[0]
+                ready_at[int(touching.max())].append(s)
+
+            shards_all = blending.get_shard_coordinates(
+                in_shape, shard_size=shard_size)
+            writer = ThreadPoolExecutor(max_workers=1)
+            slab_futures = []
+
+            def write_slab(a, b, dev_u8):
+                # runs on the writer thread, overlapped with the main
+                # thread's accumulate loop (span names are disjoint from
+                # the main thread's, so the shared Timer stays consistent)
+                with timer.span("slab_d2h_wait"):
+                    out = np.asarray(dev_u8)  # rows [a, b); transfer
+                    #                  already in flight (copy_to_host_async)
+
+                def write_shard(coords):
+                    i0, j0, k0, i1, j1, k1 = coords
+                    final[i0:i1, j0:j1, k0:k1] = \
+                        out[i0 - a:i1 - a, j0:j1, k0:k1]
+
+                # slabs are shard-aligned on axis 0, so each shard file is
+                # written by exactly one slab (the reference's shard-level
+                # write partitioning, predict.py:251-256)
+                with timer.span("writeback"):
+                    Parallel(n_jobs=-1, prefer="threads")(
+                        delayed(write_shard)(c) for c in shards_all
+                        if c[0] >= a and c[3] <= b)
+
+            def ship_slab(s):
+                a, b = slab_bounds[s]
+                r = finalize(acc, wacc, (off0 + a, int(pad_off[1]),
+                                         int(pad_off[2])),
+                             (b - a, int(in_shape[1]), int(in_shape[2])))
+                r.copy_to_host_async()
+                slab_futures.append(writer.submit(write_slab, a, b, r))
 
             def consume(idx, pb):
                 nonlocal acc, wacc
@@ -412,23 +488,18 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     acc, wacc = step(acc, wacc, pb,
                                      jnp.int32(s0), jnp.int32(s1),
                                      jnp.int32(s2))
+                # dispatch-only (async): normalize+d2h rides behind the
+                # remaining accumulate steps on the device stream
+                for s in ready_at.get(idx, ()):
+                    ship_slab(s)
 
-            run_blocks(consume)
-            with timer.span("finalize_d2h"):
-                out_u8 = np.asarray(finalize(acc, wacc, pad_off,
-                                             in_shape.tolist()))
-
-            def write_shard(coords):
-                i0, j0, k0, i1, j1, k1 = coords
-                final[i0:i1, j0:j1, k0:k1] = out_u8[i0:i1, j0:j1, k0:k1]
-
-            with timer.span("writeback"):
-                from joblib import Parallel, delayed
-
-                Parallel(n_jobs=-1, prefer="threads")(
-                    delayed(write_shard)(coords)
-                    for coords in blending.get_shard_coordinates(
-                        in_shape, shard_size=shard_size))
+            try:
+                run_blocks(consume)
+                with timer.span("finalize_d2h"):  # residual drain only
+                    for fut in slab_futures:
+                        fut.result()
+            finally:
+                writer.shutdown(wait=True)
             return bs
 
         def attempt_host(bs):
