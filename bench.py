@@ -654,11 +654,10 @@ def bench_inference(cpu_ref):
     acc, wacc = step(acc, wacc,
                      jnp.zeros((block,) * 3, jnp.uint8),
                      jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    # the timed run streams shard-aligned row slabs (shard_size=256) out of
-    # the accumulator, so warm the SLAB-shaped finalize program (offsets are
-    # runtime args — one program serves every slab at this shape)
-    slab_h = min(256, 512)
-    np.asarray(fin(acc, wacc, pad_off, [slab_h, 512, 512])).ravel()[:1]
+    # the timed run streams individual shards (shard_size=256) out of the
+    # accumulator, so warm the SHARD-shaped finalize program (offsets are
+    # runtime args — one program serves every interior shard at 512^3)
+    np.asarray(fin(acc, wacc, pad_off, [256, 256, 256])).ravel()[:1]
     del acc, wacc
 
     log(f"[infer] TPU 512^3 run (block {block})...")

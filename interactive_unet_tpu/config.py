@@ -50,7 +50,14 @@ class TrainConfig:
     def from_json(cls, text: str) -> "TrainConfig":
         d = json.loads(text)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        cfg = cls(**{k: v for k, v in d.items() if k in known})
+        if cfg.encoder_name:
+            # saved reference configs carry smp spellings verbatim
+            # (e.g. 'timm-efficientnet-b3'); fold them to the ladder name
+            from .models.registry import normalize_encoder_name
+
+            cfg.encoder_name = normalize_encoder_name(cfg.encoder_name)
+        return cfg
 
 
 @dataclasses.dataclass

@@ -417,69 +417,59 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
         def attempt_device(bs_try):
             """Device-accumulator path; raises on OOM (caller ladders).
 
-            Slab-streamed finalize: the output is cut into shard-aligned
-            row slabs along axis 0, and as soon as no remaining block can
-            touch a slab (blocks tile axis-0-outermost), that slab is
-            normalized on device, its uint8 d2h transfer is started
-            asynchronously, and a writer thread lands its shards — all
-            while later blocks are still accumulating.  At 512^3 this
-            hides most of the 268 MB d2h (formerly a serial ~28 s tail
-            through the tunnel) behind the ~29 s accumulate phase."""
+            Shard-streamed finalize: each output SHARD is normalized on
+            device and its uint8 d2h transfer started asynchronously as
+            soon as no remaining block can touch it; a writer thread lands
+            it — all while later blocks are still accumulating.  Shards
+            are the natural streaming unit (one zarr shard file = one
+            write), and per-shard granularity leaves only the final
+            corner shard (~33 MB at 512^3/shard-256, vs the whole 268 MB
+            it was before streaming, or the 134 MB last row-slab of the
+            first streaming cut) as the unavoidable serial d2h tail —
+            everything else rides behind the accumulate phase."""
             from collections import defaultdict
-
-            from joblib import Parallel, delayed
 
             init, step, finalize, bs = make_device_accumulator(
                 model, params, input_size, num_classes, pad_ext,
                 bs_try, axes, window)
             acc, wacc = init()
 
-            # slab plan: output rows [a, b) per shard row, and the last
-            # block index whose padded extent intersects each slab
-            n0 = int(in_shape[0])
-            slab_bounds = [(a, min(a + shard_size, n0))
-                           for a in range(0, n0, shard_size)]
-            off0 = int(pad_off[0])
-            p0 = padded_coords[:, 0] + off0  # block row range in padded space
-            p1 = padded_coords[:, 3] + off0
-            ready_at = defaultdict(list)     # block idx -> slabs finalizable
-            for s, (a, b) in enumerate(slab_bounds):
-                touching = np.nonzero((p0 < b + off0) & (p1 > a + off0))[0]
-                ready_at[int(touching.max())].append(s)
-
+            # per shard: the last block index whose padded extent
+            # intersects it (block/shard coords share the output frame —
+            # pad_off shifts both sides equally and cancels)
             shards_all = blending.get_shard_coordinates(
                 in_shape, shard_size=shard_size)
-            writer = ThreadPoolExecutor(max_workers=1)
-            slab_futures = []
+            P = padded_coords
+            ready_at = defaultdict(list)   # block idx -> shards finalizable
+            for s_idx, (i0, j0, k0, i1, j1, k1) in enumerate(shards_all):
+                inter = ((P[:, 0] < i1) & (P[:, 3] > i0) &
+                         (P[:, 1] < j1) & (P[:, 4] > j0) &
+                         (P[:, 2] < k1) & (P[:, 5] > k0))
+                ready_at[int(np.nonzero(inter)[0].max())].append(s_idx)
 
-            def write_slab(a, b, dev_u8):
+            offs = [int(o) for o in pad_off]
+            writer = ThreadPoolExecutor(max_workers=1)
+            shard_futures = []
+
+            def write_tile(coords, dev_u8):
                 # runs on the writer thread, overlapped with the main
                 # thread's accumulate loop (span names are disjoint from
                 # the main thread's, so the shared Timer stays consistent)
-                with timer.span("slab_d2h_wait"):
-                    out = np.asarray(dev_u8)  # rows [a, b); transfer
-                    #                  already in flight (copy_to_host_async)
-
-                def write_shard(coords):
-                    i0, j0, k0, i1, j1, k1 = coords
-                    final[i0:i1, j0:j1, k0:k1] = \
-                        out[i0 - a:i1 - a, j0:j1, k0:k1]
-
-                # slabs are shard-aligned on axis 0, so each shard file is
-                # written by exactly one slab (the reference's shard-level
-                # write partitioning, predict.py:251-256)
+                i0, j0, k0, i1, j1, k1 = coords
+                with timer.span("shard_d2h_wait"):
+                    out = np.asarray(dev_u8)  # transfer already in
+                    #                        flight (copy_to_host_async)
                 with timer.span("writeback"):
-                    Parallel(n_jobs=-1, prefer="threads")(
-                        delayed(write_shard)(c) for c in shards_all
-                        if c[0] >= a and c[3] <= b)
+                    final[i0:i1, j0:j1, k0:k1] = out
 
-            def ship_slab(s):
-                a, b = slab_bounds[s]
-                r = finalize(acc, wacc, (off0 + a, int(pad_off[1]),
-                                         int(pad_off[2])),
-                             (b - a, int(in_shape[1]), int(in_shape[2])))
+            def ship_shard(s_idx):
+                i0, j0, k0, i1, j1, k1 = shards_all[s_idx]
+                r = finalize(acc, wacc,
+                             (offs[0] + i0, offs[1] + j0, offs[2] + k0),
+                             (i1 - i0, j1 - j0, k1 - k0))
                 r.copy_to_host_async()
-                slab_futures.append(writer.submit(write_slab, a, b, r))
+                shard_futures.append(
+                    writer.submit(write_tile, shards_all[s_idx], r))
 
             def consume(idx, pb):
                 nonlocal acc, wacc
@@ -491,12 +481,12 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                 # dispatch-only (async): normalize+d2h rides behind the
                 # remaining accumulate steps on the device stream
                 for s in ready_at.get(idx, ()):
-                    ship_slab(s)
+                    ship_shard(s)
 
             try:
                 run_blocks(consume)
                 with timer.span("finalize_d2h"):  # residual drain only
-                    for fut in slab_futures:
+                    for fut in shard_futures:
                         fut.result()
             finally:
                 writer.shutdown(wait=True)

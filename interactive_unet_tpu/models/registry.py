@@ -120,8 +120,33 @@ def _pretrained_form(encoder_name: str, dtype):
                                        norm="none")
 
 
+# smp names with a geometry-identical ladder entry but no derivable
+# spelling (reference unet.py:28 accepts any smp encoder string; saved
+# reference configs carry these verbatim)
+_SMP_ALIASES = {
+    "timm-mobilenetv3_large_100": "mobilenet_v3_large",
+    "timm-mobilenetv3_small_100": "mobilenet_v3_small",
+}
+
+
+def normalize_encoder_name(name: str) -> str:
+    """Resolve smp-style encoder spellings from saved reference configs to
+    their ladder equivalents (exact-geometry matches only — e.g.
+    ``timm-efficientnet-b3`` / ``efficientnet-b3`` -> ``efficientnet_b3``,
+    ``timm-tf_efficientnet_lite1`` -> ``efficientnet_lite1``).  Names with
+    no geometry match pass through unchanged so ``build_encoder`` raises
+    with the canonical list."""
+    if name in ENCODER_BUILDERS or name in _MIT_CONFIGS:
+        return name
+    if name in _SMP_ALIASES:
+        return _SMP_ALIASES[name]
+    n = name.removeprefix("timm-").replace("-", "_").removeprefix("tf_")
+    return n if n in ENCODER_BUILDERS or n in _MIT_CONFIGS else name
+
+
 def build_encoder(encoder_name: str, dtype=jnp.bfloat16,
                   pretrained: bool = False):
+    encoder_name = normalize_encoder_name(encoder_name)
     if encoder_name in _MIT_CONFIGS:
         cfg = _MIT_CONFIGS[encoder_name]
         if pretrained:

@@ -295,10 +295,12 @@ class SessionState:
         stroke actually uses."""
         import sys
 
-        from ..models.registry import ENCODERS, IMPORTABLE_ENCODERS
+        from ..models.registry import (ENCODERS, IMPORTABLE_ENCODERS,
+                                       normalize_encoder_name)
         from ..utils.torch_import import find_checkpoint
 
-        enc = os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s")
+        enc = normalize_encoder_name(
+            os.environ.get("IUNET_SUGGESTOR_ENCODER", "cnn_s"))
         if enc not in ENCODERS:
             # this runs in the per-stroke daemon thread — a raise here would
             # just kill suggestions silently; warn and fall back instead

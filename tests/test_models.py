@@ -61,3 +61,30 @@ def test_unknown_names_raise():
         models.build_model(architecture="nope")
     with pytest.raises(ValueError):
         models.build_model(encoder_name="nope")
+
+
+def test_smp_encoder_name_normalization():
+    """smp spellings from saved reference configs fold to ladder names
+    (reference unet.py:28 accepts any smp encoder string); unknown names
+    pass through so build_encoder still raises with the canonical list."""
+    from interactive_unet_tpu.config import TrainConfig
+    from interactive_unet_tpu.models.registry import normalize_encoder_name
+
+    assert normalize_encoder_name("timm-efficientnet-b3") == "efficientnet_b3"
+    assert normalize_encoder_name("efficientnet-b0") == "efficientnet_b0"
+    assert normalize_encoder_name(
+        "timm-tf_efficientnet_lite1") == "efficientnet_lite1"
+    assert normalize_encoder_name(
+        "timm-mobilenetv3_large_100") == "mobilenet_v3_large"
+    # canonical names are untouched, including the pre-existing alias
+    assert normalize_encoder_name("resnet50") == "resnet50"
+    assert normalize_encoder_name("mit_b2") == "mit_b2"
+    # no geometry match -> unchanged -> build_encoder raises
+    assert normalize_encoder_name("timm-resnest50d") == "timm-resnest50d"
+    with pytest.raises(ValueError):
+        models.build_model(encoder_name="timm-resnest50d")
+
+    # the saved-config path folds at load time
+    cfg = TrainConfig.from_json(
+        '{"encoder_name": "timm-efficientnet-b2", "lr": 0.001}')
+    assert cfg.encoder_name == "efficientnet_b2"

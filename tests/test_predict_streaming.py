@@ -1,8 +1,8 @@
-"""Slab-streamed finalize (round-4 perf): the device-accumulator path cuts
-the output into shard-aligned row slabs and ships each one as soon as no
-remaining block can touch it.  These tests pin that the streamed output is
-voxel-identical to the host path on awkward geometry (non-cubic volume,
-tail slab shorter than shard_size, blocks overlapping slab boundaries)."""
+"""Shard-streamed finalize (round-4 perf): the device-accumulator path
+finalizes each output shard and ships it as soon as no remaining block can
+touch it.  These tests pin that the streamed output is voxel-identical to
+the host path on awkward geometry (non-cubic volume, edge shards clipped
+below shard_size on every axis, blocks overlapping shard boundaries)."""
 
 import numpy as np
 
@@ -19,11 +19,11 @@ def _workspace(tmp_path, rng, shape):
     return vol
 
 
-def test_streamed_slabs_match_host_noncubic(tmp_path, rng):
-    """80 rows / shard 32 -> slabs of 32, 32, 16 (tail shorter than a
-    shard); every output shard must be written exactly once and match the
-    host accumulator voxel-for-voxel (same knife-edge tolerance as the
-    cubic parity test)."""
+def test_streamed_shards_match_host_noncubic(tmp_path, rng):
+    """(80, 48, 40) / shard 32 -> a 3x2x2 shard grid with clipped edge
+    shards on every axis; every output shard must be written exactly once
+    and match the host accumulator voxel-for-voxel (same knife-edge
+    tolerance as the cubic parity test)."""
     import shutil
 
     from interactive_unet_tpu import storage
