@@ -234,7 +234,7 @@ def make_block_predictor(model, params, input_size: int, num_classes: int,
 
 def make_device_accumulator(model, params, input_size: int, num_classes: int,
                             ext, batch_size: int | None = None,
-                            axes=(0, 1, 2), window=None):
+                            axes=(0, 1, 2), window=None, mesh=None):
     """Device-resident blending (SURVEY hard part #5): the whole padded
     output volume accumulates in HBM — each block's 2.5D prediction and its
     Gaussian window are added in place with NO device->host transfer, and
@@ -242,14 +242,39 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
     removes blocks x (S,S,S,C) fp16 d2h (1.8 GB for 512^3/256) and all host
     read-modify-write.
 
+    With a ``mesh``, each sweep's slice batch is sharding-constrained over
+    the mesh's ``data`` (and ``space``) axes, so GSPMD splits the conv
+    forwards across chips (parallel/infer.py design); params and the
+    accumulators are replicated — the accumulate update is elementwise, and
+    replication keeps the per-chip HBM budget identical to single-chip.
+    This is what the reference's dead multi-GPU sketch wanted to be
+    (predict.py:137-147, 204-232).
+
     Returns (init, step, finalize, bs): init() -> zeroed (acc, wacc) device
     buffers; step(acc, wacc, block_u8, i, j, k) adds one block at
     padded-space offset (i, j, k); finalize(acc, wacc, off, shape)
     -> (shape..., classes) uint8."""
     S = input_size
     bs = batch_size or _auto_batch_size(S, width=_encoder_width(model))
+    slice_hook = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding as _bsh
+        from ..parallel.mesh import replicated as _rep
+
+        rep = _rep(mesh)
+        bsh = _bsh(mesh)
+        n_data = int(dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            "data", 1))
+        # batch must stay a divisor of S AND split evenly over 'data'
+        while bs > n_data and (S % bs or bs % n_data):
+            bs -= 1
+        if S % bs or bs % n_data:
+            bs = n_data if S % n_data == 0 else 1
+        slice_hook = (lambda sl:
+                      jax.lax.with_sharding_constraint(sl, bsh))
+        params = jax.device_put(params, rep)
     predict_fn = make_block_predict_fn(model, S, num_classes, bs, axes,
-                                       window)
+                                       window, slice_hook=slice_hook)
     if window is None:  # match make_block_predictor's contract: uniform
         window = np.ones((S, S, S), np.float32)  # weights == block counting
     win = jnp.asarray(window, jnp.float32)
@@ -305,8 +330,11 @@ def make_device_accumulator(model, params, input_size: int, num_classes: int,
 
     def init():
         e = tuple(int(v) for v in ext)
-        return (jnp.zeros((*e, num_classes), jnp.float32),
+        bufs = (jnp.zeros((*e, num_classes), jnp.float32),
                 jnp.zeros(e, jnp.float32))
+        if mesh is not None:  # replicate across the mesh (see docstring)
+            bufs = jax.device_put(bufs, rep)
+        return bufs
 
     return init, step, finalize, bs
 
@@ -315,7 +343,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     overlap=0.25, chunk_size=128, shard_size=256,
                     batch_size=None, axes=(0, 1, 2), root=".",
                     progress=None, ram_budget_bytes=64 << 30,
-                    hbm_budget_bytes=6 << 30):
+                    hbm_budget_bytes=6 << 30, mesh=None):
     """Sliding-window inference over every data/image_volumes/*.zarr store.
 
     Accumulator placement (fastest first):
@@ -324,6 +352,10 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
        (make_device_accumulator; used when it fits ``hbm_budget_bytes``)
     2. host RAM (``ram_budget_bytes``)
     3. reference-style temp zarr accumulators (predict.py:183-199)
+
+    ``mesh``: a jax.sharding.Mesh to split the per-block slice batches
+    across chips (GSPMD over ICI; parallel/infer.py design).  CLI:
+    ``interactive-unet-tpu predict-volumes --mesh 4x2`` / ``IUNET_MESH``.
     """
     root = Path(root)
     model, params, cfg = _load_model(root, num_channels, num_classes)
@@ -331,11 +363,23 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
     volume_files = sorted(glob.glob(str(root / "data" / "image_volumes" / "*.zarr")))
     window = blending.gaussian_3d(input_size, sigma=0.125)
     _predictors: dict = {}  # bs -> host-path block predictor (reused)
+    if mesh is not None:
+        from ..parallel.mesh import replicated as _rep
+
+        rep_sharding = _rep(mesh)
 
     def host_predictor(bs):
         if bs not in _predictors:
-            _predictors[bs] = make_block_predictor(
-                model, params, input_size, num_classes, bs, axes, window)[0]
+            if mesh is not None:
+                from ..parallel.infer import make_sharded_block_predictor
+
+                _predictors[bs] = make_sharded_block_predictor(
+                    model, params, input_size, num_classes, mesh, bs,
+                    axes, window)[0]
+            else:
+                _predictors[bs] = make_block_predictor(
+                    model, params, input_size, num_classes, bs, axes,
+                    window)[0]
         return _predictors[bs]
 
     results = []
@@ -390,65 +434,90 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
             computes the current block (VERDICT r2 #6: the upload used to
             serialize with compute on the consume side)."""
             pb = blending.get_padded_block(volume, *padded_coords[idx])
-            return jax.device_put(jnp.asarray(pb, jnp.uint8))
+            pb = jnp.asarray(pb, jnp.uint8)
+            return (jax.device_put(pb, rep_sharding) if mesh is not None
+                    else jax.device_put(pb))
 
-        def run_blocks(consume, depth=2):
+        def run_blocks(consume, depth=2, order=None):
             """Prefetch-pipelined block loop shared by both accumulator
             paths: worker threads read+pad+upload up to ``depth`` blocks
             ahead while ``consume(idx, block)`` handles block idx (depth 2
             because a single worker's zstd decode sometimes lags the device
             — 11.3 s of read_block stall in the round-4 512^3 profile).  A
             fresh executor per call so an OOM-laddered retry gets a live
-            one."""
-            n = len(padded_coords)
+            one.  ``order`` permutes the traversal (the device path passes
+            a shard-major order so output shards complete early; blending
+            is a sum, so any order is output-identical)."""
+            idxs = (list(order) if order is not None
+                    else list(range(len(padded_coords))))
+            n = len(idxs)
             prefetcher = ThreadPoolExecutor(max_workers=depth)
-            pending = [prefetcher.submit(fetch, i)
-                       for i in range(min(depth, n))]
-            for idx in range(n):
+            pending = [prefetcher.submit(fetch, i) for i in idxs[:depth]]
+            for pos, idx in enumerate(idxs):
                 with timer.span("read_block"):
                     pb = pending.pop(0).result()
-                if idx + depth < n:
-                    pending.append(prefetcher.submit(fetch, idx + depth))
+                if pos + depth < n:
+                    pending.append(prefetcher.submit(fetch, idxs[pos + depth]))
                 consume(idx, pb)
                 if progress is not None:
-                    progress(idx + 1, n)
+                    progress(pos + 1, n)
             prefetcher.shutdown(wait=False)
 
         def attempt_device(bs_try):
             """Device-accumulator path; raises on OOM (caller ladders).
 
-            Shard-streamed finalize: each output SHARD is normalized on
-            device and its uint8 d2h transfer started asynchronously as
-            soon as no remaining block can touch it; a writer thread lands
-            it — all while later blocks are still accumulating.  Shards
-            are the natural streaming unit (one zarr shard file = one
-            write), and per-shard granularity leaves only the final
-            corner shard (~33 MB at 512^3/shard-256, vs the whole 268 MB
-            it was before streaming, or the 134 MB last row-slab of the
-            first streaming cut) as the unavoidable serial d2h tail —
-            everything else rides behind the accumulate phase."""
+            Shard-streamed finalize: blocks are traversed in SHARD-MAJOR
+            order (blending.shard_major_block_order), so each output shard's
+            intersecting blocks run consecutively and the shard is
+            normalized on device + its uint8 d2h started the moment its
+            last block lands — a writer thread writes it while later blocks
+            are still accumulating.  Under the round-3 raster traversal,
+            most shards only completed near the final blocks and the d2h
+            drained serially after accumulation (42 s of the 84 s 512^3
+            round-4 run); shard-major traversal spreads shard completions
+            evenly across the whole accumulate phase.  Shards are the
+            natural streaming unit (one zarr shard file = one write).
+
+            Dispatch-count tradeoff: finalize launches one device program
+            per output shard, (extent/shard_size)^3 total — 8 at the
+            512^3/shard-256 default but 4096 at shard-32, where per-dispatch
+            overhead could exceed the streaming win; keep shards >= 128 for
+            large volumes (the storage default is 256)."""
             from collections import defaultdict
 
             init, step, finalize, bs = make_device_accumulator(
                 model, params, input_size, num_classes, pad_ext,
-                bs_try, axes, window)
+                bs_try, axes, window, mesh=mesh)
             acc, wacc = init()
 
-            # per shard: the last block index whose padded extent
-            # intersects it (block/shard coords share the output frame —
-            # pad_off shifts both sides equally and cancels)
+            # per shard: the block index at which it becomes finalizable =
+            # the LAST (in traversal order) block whose padded extent
+            # intersects it.  get_block_coordinates padded extents and
+            # get_shard_coordinates tiles are both expressed in the
+            # output/volume frame, so the intersection test needs no
+            # offsetting (pad_off only shifts into accumulator space).
             shards_all = blending.get_shard_coordinates(
                 in_shape, shard_size=shard_size)
-            P = padded_coords
+            order = blending.shard_major_block_order(padded_coords,
+                                                     shards_all)
+            pos_of = np.empty(len(order), np.int64)
+            pos_of[order] = np.arange(len(order))
+            inter_all = blending.block_shard_intersections(padded_coords,
+                                                           shards_all)
             ready_at = defaultdict(list)   # block idx -> shards finalizable
-            for s_idx, (i0, j0, k0, i1, j1, k1) in enumerate(shards_all):
-                inter = ((P[:, 0] < i1) & (P[:, 3] > i0) &
-                         (P[:, 1] < j1) & (P[:, 4] > j0) &
-                         (P[:, 2] < k1) & (P[:, 5] > k0))
-                ready_at[int(np.nonzero(inter)[0].max())].append(s_idx)
+            for s_idx in range(len(shards_all)):
+                blocks = np.nonzero(inter_all[s_idx])[0]
+                # a covering tiling guarantees >=1 block per shard; guard the
+                # invariant rather than crash on .max() of an empty set
+                assert len(blocks), \
+                    f"no block covers output shard {shards_all[s_idx]}"
+                ready_at[int(order[pos_of[blocks].max()])].append(s_idx)
 
             offs = [int(o) for o in pad_off]
-            writer = ThreadPoolExecutor(max_workers=1)
+            # 2 writers: one shard's d2h wait overlaps another's zstd encode
+            # + file write (writes are shard-partitioned — every shard is
+            # one distinct file, written once, so two writers never race)
+            writer = ThreadPoolExecutor(max_workers=2)
             shard_futures = []
 
             def write_tile(coords, dev_u8):
@@ -484,7 +553,7 @@ def predict_volumes(input_size=256, num_channels=1, num_classes=2,
                     ship_shard(s)
 
             try:
-                run_blocks(consume)
+                run_blocks(consume, order=order)
                 with timer.span("finalize_d2h"):  # residual drain only
                     for fut in shard_futures:
                         fut.result()

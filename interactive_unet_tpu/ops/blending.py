@@ -89,6 +89,47 @@ def get_shard_coordinates(volume_shape, shard_size: int = 128) -> np.ndarray:
     return np.concatenate([lo, hi], axis=1)
 
 
+def block_shard_intersections(padded_coords, shard_coords) -> np.ndarray:
+    """(n_shards, n_blocks) bool: does block b's padded extent overlap shard
+    s?  Both coordinate sets live in the same output/volume frame
+    (``get_block_coordinates`` padded extents and ``get_shard_coordinates``
+    tiles), so this is a plain interval-overlap test per axis."""
+    P = np.asarray(padded_coords)
+    S = np.asarray(shard_coords)
+    lo_s, hi_s = S[:, None, :3], S[:, None, 3:]
+    lo_b, hi_b = P[None, :, :3], P[None, :, 3:]
+    return ((lo_b < hi_s) & (hi_b > lo_s)).all(axis=2)
+
+
+def shard_major_block_order(padded_coords, shard_coords) -> np.ndarray:
+    """Block traversal permutation that completes output shards early and
+    evenly: walk shards in raster order and visit each shard's not-yet-seen
+    intersecting blocks consecutively.  After the last block of shard s's
+    group, every block touching s has run, so s can be normalized and
+    shipped device->host immediately — the d2h stream then rides behind the
+    remaining blocks' accumulation instead of draining serially at the end
+    (round-4 profile: raster order left a 42 s serial drain on 512^3
+    because most shards only became complete near the final blocks).
+
+    Returns an (n_blocks,) int64 permutation of block indices.  The
+    reference imposes no traversal order (predict.py:362-411), so any
+    permutation preserves output parity exactly — blending is a sum.
+    """
+    inter = block_shard_intersections(padded_coords, shard_coords)
+    n = inter.shape[1]
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    for s in range(inter.shape[0]):
+        new = np.nonzero(inter[s] & ~visited)[0]
+        visited[new] = True
+        order[pos:pos + len(new)] = new
+        pos += len(new)
+    rest = np.nonzero(~visited)[0]  # blocks outside every shard: impossible
+    order[pos:] = rest              # for a covering tiling, but keep total
+    return order
+
+
 def get_padded_block(volume, i0, j0, k0, i1, j1, k1) -> np.ndarray:
     """Fetch volume[i0:i1, j0:j1, k0:k1], reflect-padding any part of the
     range that falls outside the volume (reference predict.py:291-316

