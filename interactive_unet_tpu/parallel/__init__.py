@@ -12,6 +12,7 @@ from ..jaxsetup import enable_compile_cache as _ecc
 _ecc()
 del _ecc
 
-from .mesh import make_mesh, batch_sharding, replicated  # noqa: F401
+from .mesh import (make_mesh, batch_sharding, parse_mesh_spec,  # noqa: F401
+                   replicated)
 from .train import make_sharded_train_step  # noqa: F401
 from .infer import make_sharded_block_predictor  # noqa: F401

@@ -71,6 +71,9 @@ class SessionState:
         self.training = False
         self.predicting = False
         self.suggesting = False
+        self.ranking_slice = False      # suggest-next-slice in flight
+        self.building_volumes = False   # build_annotation_volumes in flight
+        self.last_suggest_score = None
         self.suggestor_model: Suggestor | None = None
 
         self._details_path = self.root / "model" / "model_details.json"
@@ -358,6 +361,48 @@ class SessionState:
         self._refresh_slice()
         return ranked[0]["score"]
 
+    def suggest_slice_async(self):
+        """``suggest_next_slice`` off the caller's thread (single-flight):
+        ``rank_slices`` does device work and a first-use compile that can
+        take minutes on the TPU tunnel, so it must never run inside an
+        aiohttp handler (the same defect class the reference has for
+        predict, app.py:741-746).  The client polls ``ranking_slice`` in
+        /status; the score lands in ``last_suggest_score``."""
+        if self.ranking_slice:
+            return False
+        self.ranking_slice = True
+
+        def run():
+            try:
+                self.last_suggest_score = float(self.suggest_next_slice())
+            except Exception:
+                self.last_suggest_score = None
+                raise
+            finally:
+                self.ranking_slice = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
+    def build_annotation_volumes_async(self):
+        """Write annotation/weight volumes for every sample (volumedata) on
+        a worker thread — it reslices through every stored volume, far too
+        slow for the UI event loop.  Single-flight via ``building_volumes``."""
+        if self.building_volumes:
+            return False
+        self.building_volumes = True
+
+        def run():
+            from .volumedata import build_annotation_volumes, load_dataset
+
+            try:
+                build_annotation_volumes(load_dataset(root=self.root))
+            finally:
+                self.building_volumes = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return True
+
     def check_volume_folder(self):
         """Rescan data/image_volumes and reload when volumes were added or
         removed (reference app.py:780-788 timer behavior)."""
@@ -411,6 +456,9 @@ class SessionState:
             "training": self.training,
             "predicting": self.predicting,
             "suggesting": self.suggesting,
+            "ranking_slice": self.ranking_slice,
+            "building_volumes": self.building_volumes,
+            "suggest_score": self.last_suggest_score,
             "overlay": self.overlay,
             "sampling_mode": self.sampling_mode,
             "num_channels": self.num_channels,

