@@ -422,9 +422,15 @@ def train_model(lr=1e-4, batch_size=1, epochs=10, num_channels=1,
             "config": cfg}
 
 
-def warm_train_program(root="."):
+def warm_train_program(root=".", overrides=None):
     """Compile AND first-dispatch the fused train program for the saved
     config + current dataset shapes, with throwaway parameters.
+
+    ``overrides``: unsaved config edits (architecture/encoder_name/
+    pretrained/...) from the UI's config panel — the warm-on-config-change
+    path (VERDICT r4 #5) compiles the program the NEXT click will actually
+    run, before the user clicks.  Ignored when a checkpoint locks the
+    architecture (resume takes the ckpt's config, exactly like train_model).
 
     The first real Train click in a fresh worker process otherwise pays the
     tunnel TPU's first-dispatch program load (measured 30-500 s even on a
@@ -451,6 +457,10 @@ def warm_train_program(root="."):
             from ..models import restore_pretrained_flag
             cfg.pretrained = restore_pretrained_flag(
                 cfg.encoder_name, old.pretrained, sd)
+        elif overrides:
+            for k, v in overrides.items():
+                if hasattr(cfg, k):
+                    setattr(cfg, k, v)
 
         data, n_tr, n_va, cap_tr, cap_va = _load_device_dataset(
             root, cfg.num_classes, cfg.batch_size, False, 2, None, None)
