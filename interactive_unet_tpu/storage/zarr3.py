@@ -7,7 +7,10 @@ implementation of the subset of the Zarr v3 spec those paths need:
 
 - groups and N-D arrays under a directory store (``zarr.json`` metadata)
 - regular chunk grid, default ("/"-separated, ``c/``-prefixed) chunk keys
-- codec chains: ``bytes`` (little endian) -> optional ``zstd``
+- codec chains: writes ``bytes`` (little endian) -> optional ``zstd``;
+  reads additionally accept ``gzip`` (stdlib zlib), ``crc32c``, and —
+  when numcodecs is importable — ``blosc``; anything else raises an
+  actionable "unsupported codec" error at open time
 - the ``sharding_indexed`` storage codec: many inner chunks per shard file
   with an end-located index of (offset, nbytes) uint64 pairs + crc32c
 - fill-value semantics for missing chunks, partial read/write (RMW)
@@ -105,21 +108,110 @@ def _dtype_name(dtype) -> str:
 
 
 # ---------------------------------------------------------------------------
-# codec chain: bytes(little) [+ zstd]
+# codec chains.  Written stores always use bytes(little) [+ zstd]; READING
+# additionally accepts the codecs stock zarr-python/tensorstore commonly
+# write — gzip (stdlib zlib) and, when numcodecs is importable, blosc —
+# and fails with an actionable error for anything else (the reference
+# reads whatever zarr-python wrote, volumedata.py:24; VERDICT r4 #7).
 # ---------------------------------------------------------------------------
 
-
-def _encode_chunk(arr: np.ndarray, compress: bool) -> bytes:
-    raw = np.ascontiguousarray(arr).astype(arr.dtype.newbyteorder("<")).tobytes()
-    if compress and _zstd is not None:
-        return _ZC.compress(raw)
-    return raw
+try:  # optional: blosc has no stdlib decoder; numcodecs provides one
+    from numcodecs import Blosc as _NCBlosc
+except Exception:  # pragma: no cover - numcodecs not in the TPU image
+    _NCBlosc = None
 
 
-def _decode_chunk(data: bytes, shape, dtype, compress: bool) -> np.ndarray:
-    if compress and _zstd is not None:
-        data = _ZD.decompress(data)
-    return np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<")).reshape(shape).astype(dtype)
+def _parse_codecs(codecs: list, where: str) -> list:
+    """Validate an array->bytes codec chain; returns the bytes->bytes tail
+    (everything after the leading ``bytes`` codec), raising a clear error
+    for codecs this store cannot decode."""
+    if not codecs or codecs[0].get("name") != "bytes":
+        names = [c.get("name") for c in codecs]
+        raise ValueError(
+            f"{where}: unsupported array->bytes codec chain {names} "
+            f"(expected a leading 'bytes' codec; 'transpose' etc. are not "
+            f"supported — re-encode the store with bytes+zstd/gzip)")
+    endian = codecs[0].get("configuration", {}).get("endian", "little")
+    if endian != "little":
+        raise ValueError(f"{where}: big-endian stores are not supported")
+    bb = []
+    for c in codecs[1:]:
+        name = c.get("name")
+        if name == "blosc" and _NCBlosc is None:
+            raise ValueError(
+                f"{where}: codec 'blosc' needs the optional numcodecs "
+                f"package, which is not installed; either install "
+                f"numcodecs or re-encode the store with zstd or gzip "
+                f"(supported here: bytes, zstd, gzip, crc32c)")
+        if name not in ("zstd", "gzip", "crc32c", "blosc"):
+            raise ValueError(
+                f"{where}: unsupported zarr v3 codec {name!r}; supported: "
+                f"bytes, zstd, gzip, crc32c"
+                + (", blosc" if _NCBlosc is not None else
+                   ", blosc (via numcodecs)"))
+        if name == "zstd" and _zstd is None:  # pragma: no cover
+            raise ValueError(f"{where}: zstandard package unavailable")
+        bb.append(c)
+    return bb
+
+
+def _is_zstd_only(bb: list) -> bool:
+    """True for the chain the batched native C++ path handles."""
+    return len(bb) == 1 and bb[0]["name"] == "zstd"
+
+
+def _encode_chunk(arr: np.ndarray, bb: list) -> bytes:
+    data = np.ascontiguousarray(arr).astype(
+        arr.dtype.newbyteorder("<")).tobytes()
+    for c in bb:
+        name = c["name"]
+        cfg = c.get("configuration", {})
+        if name == "zstd":
+            data = _ZC.compress(data)
+        elif name == "gzip":
+            import zlib
+
+            co = zlib.compressobj(int(cfg.get("level", 1)), zlib.DEFLATED,
+                                  31)  # wbits 31 = gzip container
+            data = co.compress(data) + co.flush()
+        elif name == "blosc":
+            data = _NCBlosc(cname=cfg.get("cname", "zstd"),
+                            clevel=int(cfg.get("clevel", 1)),
+                            shuffle=_blosc_shuffle(cfg),
+                            blocksize=int(cfg.get("blocksize", 0))
+                            ).encode(data)
+            data = bytes(data)
+        elif name == "crc32c":
+            data = data + struct.pack("<I", crc32c(data))
+    return data
+
+
+def _decode_chunk(data: bytes, shape, dtype, bb: list) -> np.ndarray:
+    for c in reversed(bb):
+        name = c["name"]
+        if name == "zstd":
+            data = _ZD.decompress(data)
+        elif name == "gzip":
+            import zlib
+
+            data = zlib.decompress(data, 31)
+        elif name == "blosc":
+            data = bytes(_NCBlosc().decode(data))
+        elif name == "crc32c":
+            stored = struct.unpack("<I", data[-4:])[0]
+            actual = crc32c(data[:-4])
+            if stored != actual:
+                raise ValueError(
+                    f"chunk crc32c mismatch (stored {stored:#x}, computed "
+                    f"{actual:#x}) — corrupt chunk")
+            data = data[:-4]
+    return np.frombuffer(data, dtype=np.dtype(dtype).newbyteorder("<")
+                         ).reshape(shape).astype(dtype)
+
+
+def _blosc_shuffle(cfg: dict) -> int:
+    s = cfg.get("shuffle", "noshuffle")
+    return {"noshuffle": 0, "shuffle": 1, "bitshuffle": 2}.get(s, 0)
 
 
 def _codec_chain(compress: bool) -> list:
@@ -149,13 +241,15 @@ class Array:
             cfg = codecs[0]["configuration"]
             self.chunks = tuple(cfg["chunk_shape"])          # inner chunk
             self.shards = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
-            self._compress = any(c["name"] == "zstd" for c in cfg["codecs"])
+            self._bb = _parse_codecs(cfg["codecs"], where=str(self.path))
             self._sharded = True
         else:
             self.chunks = tuple(meta["chunk_grid"]["configuration"]["chunk_shape"])
             self.shards = None
-            self._compress = any(c["name"] == "zstd" for c in codecs)
+            self._bb = _parse_codecs(codecs, where=str(self.path))
             self._sharded = False
+        # the batched C++ zstd path only understands the bytes+zstd chain
+        self._native_zstd = _is_zstd_only(self._bb)
 
     # -- construction ------------------------------------------------------
 
@@ -289,7 +383,7 @@ class Array:
             if int(idx[flat, 0]) != _MISSING]
         if not inners:
             return {}
-        if _NATIVE is not None and self._compress:
+        if _NATIVE is not None and self._native_zstd:
             # batched native zstd decode (one call, threaded in C++)
             blobs = [data[int(idx[f, 0]):int(idx[f, 0]) + int(idx[f, 1])]
                      for f, _ in inners]
@@ -306,7 +400,7 @@ class Array:
         for flat, inner in inners:
             off, nb = int(idx[flat, 0]), int(idx[flat, 1])
             out[inner] = _decode_chunk(data[off:off + nb], self.chunks,
-                                       self.dtype, self._compress)
+                                       self.dtype, self._bb)
         return out
 
     def _encode_shard(self, chunks: dict) -> bytes:
@@ -316,7 +410,7 @@ class Array:
         payload = bytearray()
         order = list(enumerate(itertools.product(*[range(g) for g in grid])))
         present = [(flat, inner) for flat, inner in order if inner in chunks]
-        if _NATIVE is not None and self._compress and present:
+        if _NATIVE is not None and self._native_zstd and present:
             raws = [np.ascontiguousarray(chunks[inner]).astype(
                 chunks[inner].dtype.newbyteorder("<")).tobytes()
                 for _, inner in present]
@@ -329,7 +423,7 @@ class Array:
             checksum = struct.pack("<I", crc32c(idx_bytes))
             return bytes(payload) + idx_bytes + checksum
         for flat, inner in present:
-            enc = _encode_chunk(chunks[inner], self._compress)
+            enc = _encode_chunk(chunks[inner], self._bb)
             idx[flat, 0] = len(payload)
             idx[flat, 1] = len(enc)
             payload += enc
@@ -357,7 +451,7 @@ class Array:
                     cbase = [b + i * c for b, i, c in zip(ubase, inner, self.chunks)]
                     self._copy_into(out, sel, chunk, cbase)
             else:
-                chunk = _decode_chunk(data, self.chunks, self.dtype, self._compress)
+                chunk = _decode_chunk(data, self.chunks, self.dtype, self._bb)
                 self._copy_into(out, sel, chunk, ubase)
 
         if squeeze:
@@ -425,14 +519,14 @@ class Array:
                     continue
                 if upath.exists():
                     chunk = _decode_chunk(upath.read_bytes(), self.chunks,
-                                          self.dtype, self._compress).copy()
+                                          self.dtype, self._bb).copy()
                 else:
                     chunk = np.full(self.chunks, self._fill, dtype=self.dtype)
                 ch_sl = tuple(slice(c, d) for _, _, c, d in spans)
                 val_sl = tuple(slice(a, b) for a, b, _, _ in spans)
                 chunk[ch_sl] = value[val_sl]
                 upath.parent.mkdir(parents=True, exist_ok=True)
-                upath.write_bytes(_encode_chunk(chunk, self._compress))
+                upath.write_bytes(_encode_chunk(chunk, self._bb))
 
     # -- misc --------------------------------------------------------------
 

@@ -188,3 +188,93 @@ def test_we_read_tensorstore_store(tmp_path, rng):
     t[...] = data
     b = zarr3.Array.open(tmp_path / "b")
     np.testing.assert_array_equal(b[:], data)
+
+
+def _ts_codec_spec(path, data_shape, codecs, chunk=(16, 16, 16)):
+    spec = dict(_ts_spec(path))
+    spec["metadata"] = {
+        "shape": list(data_shape),
+        "data_type": "uint8",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunk)}},
+        "codecs": codecs,
+    }
+    return spec
+
+
+def test_we_read_tensorstore_gzip_store(tmp_path, rng):
+    """Codec-ingest breadth (VERDICT r4 #7): a gzip-compressed zarr v3
+    store (stock zarr-python's other common codec) loads — decoded with
+    stdlib zlib, no optional packages needed."""
+    ts = pytest.importorskip("tensorstore")
+    data = (rng.random((40, 32, 20)) * 255).astype(np.uint8)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}},
+              {"name": "gzip", "configuration": {"level": 5}}]
+    t = ts.open(_ts_codec_spec(tmp_path / "g", data.shape, codecs),
+                create=True).result()
+    t[...] = data
+    a = zarr3.Array.open(tmp_path / "g")
+    np.testing.assert_array_equal(a[:], data)
+    # and RMW write-back through the same gzip chain round-trips
+    a[0:4, 0:4, 0:4] = 7
+    np.testing.assert_array_equal(
+        zarr3.Array.open(tmp_path / "g")[0:4, 0:4, 0:4],
+        np.full((4, 4, 4), 7, np.uint8))
+
+
+def test_blosc_store_loads_or_errors_actionably(tmp_path, rng):
+    """A blosc-compressed volume (tensorstore-written fixture) must either
+    load (numcodecs present) or raise the 'unsupported codec' error that
+    names the codec and the fix — never decode garbage (VERDICT r4 #7)."""
+    ts = pytest.importorskip("tensorstore")
+    data = (rng.random((32, 32, 16)) * 255).astype(np.uint8)
+    codecs = [{"name": "bytes", "configuration": {"endian": "little"}},
+              {"name": "blosc", "configuration":
+               {"cname": "lz4", "clevel": 5, "shuffle": "shuffle",
+                "typesize": 1}}]
+    t = ts.open(_ts_codec_spec(tmp_path / "bl", data.shape, codecs),
+                create=True).result()
+    t[...] = data
+    try:
+        from numcodecs import Blosc  # noqa: F401
+        has_numcodecs = True
+    except ImportError:
+        has_numcodecs = False
+    if has_numcodecs:
+        a = zarr3.Array.open(tmp_path / "bl")
+        np.testing.assert_array_equal(a[:], data)
+    else:
+        with pytest.raises(ValueError, match="blosc.*numcodecs"):
+            zarr3.Array.open(tmp_path / "bl")
+
+
+def test_unknown_codec_errors_actionably(tmp_path):
+    """Anything we can't decode names itself and the supported set."""
+    import json
+
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [8, 8],
+        "data_type": "uint8",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [8, 8]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0,
+        "codecs": [{"name": "bytes",
+                    "configuration": {"endian": "little"}},
+                   {"name": "bz2"}],
+        "attributes": {},
+    }
+    (tmp_path / "u").mkdir()
+    (tmp_path / "u" / "zarr.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="unsupported zarr v3 codec 'bz2'"):
+        zarr3.Array.open(tmp_path / "u")
+    # transpose-style array->array chains are also named, not garbled
+    meta["codecs"] = [{"name": "transpose",
+                       "configuration": {"order": [1, 0]}},
+                      {"name": "bytes",
+                       "configuration": {"endian": "little"}}]
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "zarr.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="codec chain"):
+        zarr3.Array.open(tmp_path / "t")
