@@ -196,6 +196,47 @@ def emit(metric, value, unit, vs_baseline, **extra):
 
 
 # ---------------------------------------------------------------------------
+# pinned CPU baselines (VERDICT r4 #6): the live CPU reference twins are
+# re-measured every run, so the recorded ratio swung 2.5x-7x purely with
+# the CPU's load that minute.  The FIRST run records each CPU baseline into
+# BASELINE.json's "pinned" section; later runs emit BOTH ratios —
+# vs_baseline (live, same-window, methodology unchanged) and vs_pinned
+# (against the recorded constant, comparable across rounds).  Re-record
+# with IUNET_BENCH_REPIN=1 in a known-quiet window.
+# ---------------------------------------------------------------------------
+
+BASELINE_PATH = REPO / "BASELINE.json"
+
+
+def _load_pinned() -> dict:
+    if os.environ.get("IUNET_BENCH_REPIN") == "1":
+        return {}
+    try:
+        return json.loads(BASELINE_PATH.read_text()).get("pinned", {})
+    except Exception:
+        return {}
+
+
+_PINNED = _load_pinned()
+
+
+def pin_baseline(key: str, live_value: float, unit: str) -> float:
+    """Recorded baseline for ``key`` (recording ``live_value`` on first
+    use, persisted best-effort into BASELINE.json)."""
+    if key not in _PINNED:
+        _PINNED[key] = {"value": round(float(live_value), 4), "unit": unit,
+                        "recorded": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        try:
+            doc = json.loads(BASELINE_PATH.read_text())
+            doc["pinned"] = _PINNED
+            BASELINE_PATH.write_text(json.dumps(doc, indent=2))
+            log(f"[pin] recorded baseline {key} = {live_value:.4g} {unit}")
+        except Exception as e:  # never fail the bench over bookkeeping
+            log(f"[pin] could not persist {key}: {e!r}")
+    return float(_PINNED[key]["value"])
+
+
+# ---------------------------------------------------------------------------
 # 1. slice sampling + parity gate
 # ---------------------------------------------------------------------------
 
@@ -273,8 +314,11 @@ def bench_slice_sampling():
         rounds.append((time.perf_counter() - t0) / REPS)
     t_dev = min(rounds)
     log(f"[slice] device: {t_dev * 1e3:.3f} ms/slice")
+    t_cpu_pin = pin_baseline("scipy_slice_s_512", t_cpu, "s/slice")
     emit("oriented_trilinear_slice_sampling_512", 1.0 / t_dev, "slices/s",
-         t_cpu / t_dev)
+         t_cpu / t_dev, vs_pinned=round(t_cpu_pin / t_dev, 2),
+         baseline_live_ms=round(t_cpu * 1e3, 2),
+         baseline_pinned_ms=round(t_cpu_pin * 1e3, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -378,19 +422,13 @@ def bench_suggestor():
 # ---------------------------------------------------------------------------
 
 _CPU_RUNNER = r"""
-import json, os, sys, time, hashlib
+import json, os, sys, time
 os.environ["JAX_PLATFORMS"] = "cpu"
-# per-CPU-signature cache dir: XLA:CPU caches host machine code and these
-# VMs migrate across host types — a foreign AOT entry can SIGILL (same
-# guard as tests/conftest.py)
-try:
-    with open("/proc/cpuinfo") as f:
-        _flags = next(ln for ln in f if ln.startswith("flags"))
-except (OSError, StopIteration):
-    _flags = "unknown"
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    "/tmp/jax_cache_cpu_" + hashlib.sha1(_flags.encode()).hexdigest()[:12])
+# no persistent compile cache on CPU: jaxsetup disables it by default there
+# (XLA:CPU AOT entries have both aborted on write and SIGILL'd on
+# cross-host load — round-4 verdict); make it explicit so an inherited
+# IUNET_JAX_CACHE can't re-enable the hazard mid-bench
+os.environ["IUNET_JAX_CACHE"] = "0"
 sys.path.insert(0, sys.argv[1])
 ws = sys.argv[2]
 from interactive_unet_tpu.engine.predict import predict_volumes
@@ -526,9 +564,13 @@ def collect_torch_reference(t_tpu_512: float, t_cpu_512: float,
         # same extrapolation as the jax twin: 27 blocks cover 128^3 at
         # input 64 / 25% overlap, then scale by voxel ratio to 512^3
         t_torch_512 = r["block_seconds"] * 27 * (512 ** 3 / 128 ** 3)
+        t_torch_pin = pin_baseline("torchcpu_block64_s", r["block_seconds"],
+                                   "s per 64^3 block")
+        t_torch_512_pin = t_torch_pin * 27 * (512 ** 3 / 128 ** 3)
         log(f"[infer] torch-CPU reference loop (fp32, {r['threads']} threads): "
             f"{r['block_seconds']:.2f} s/64-block -> {t_torch_512:.0f} s "
-            f"extrapolated at 512^3 (TPU {t_torch_512 / t_tpu_512:.1f}x); "
+            f"extrapolated at 512^3 (TPU {t_torch_512 / t_tpu_512:.1f}x "
+            f"live, {t_torch_512_pin / t_tpu_512:.1f}x vs pinned); "
             f"jax-CPU twin: {t_cpu_512:.0f} s (TPU "
             f"{t_cpu_512 / t_tpu_512:.1f}x)")
     except Exception as e:
@@ -677,8 +719,13 @@ def bench_inference(cpu_ref):
     log(f"[infer] TPU 512^3: {t_tpu:.1f} s ({r[0]['blocks']} blocks); "
         f"CPU extrapolated: {t_cpu_512:.0f} s")
     log(f"[infer] spans: {r[0].get('timings')}")
+    t_cpu_pin = pin_baseline("jaxcpu_inference_128_s", t_cpu_small,
+                             "s at 128^3")
     emit("fullvolume_inference_512", voxels / t_tpu / 1e6, "Mvoxels/s",
          t_cpu_512 / t_tpu,
+         vs_pinned=round(t_cpu_pin * (voxels / 128 ** 3) / t_tpu, 2),
+         baseline_live_s=round(t_cpu_small, 2),
+         baseline_pinned_s=round(t_cpu_pin, 2),
          baseline="same 2.5D pipeline on jax-CPU, identical 27-block/25%-"
                   "overlap tiling, measured at 128^3 and voxel-extrapolated"
                   " to 512^3 (torch-CPU reference-loop twin in stderr tail)")
@@ -701,7 +748,8 @@ def bench_inference(cpu_ref):
             t_512 = time.perf_counter() - t0
             log(f"[infer] TPU 512^3 single-block: {t_512:.1f} s")
             emit("fullvolume_inference_512_block512", voxels / t_512 / 1e6,
-                 "Mvoxels/s", t_cpu_512 / t_512)
+                 "Mvoxels/s", t_cpu_512 / t_512,
+                 vs_pinned=round(t_cpu_pin * (voxels / 128 ** 3) / t_512, 2))
         except Exception:
             log(f"[infer] single-512-block attempt failed (non-fatal):\n"
                 f"{traceback.format_exc(limit=3)}")

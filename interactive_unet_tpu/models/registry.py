@@ -140,7 +140,13 @@ def normalize_encoder_name(name: str) -> str:
         return name
     if name in _SMP_ALIASES:
         return _SMP_ALIASES[name]
-    n = name.removeprefix("timm-").replace("-", "_").removeprefix("tf_")
+    n = name.removeprefix("timm-").replace("-", "_")
+    if n.startswith("tf_efficientnet_lite"):
+        # only the lite family is genuinely tf_-exact here (the ladder's
+        # efficientnet_lite* IS the TF variant); a generic tf_ strip would
+        # silently fold e.g. tf_efficientnet_b3 (SAME padding) onto the
+        # torchvision-geometry efficientnet_b3 (explicit padding)
+        n = n.removeprefix("tf_")
     return n if n in ENCODER_BUILDERS or n in _MIT_CONFIGS else name
 
 

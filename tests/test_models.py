@@ -81,6 +81,13 @@ def test_smp_encoder_name_normalization():
     assert normalize_encoder_name("mit_b2") == "mit_b2"
     # no geometry match -> unchanged -> build_encoder raises
     assert normalize_encoder_name("timm-resnest50d") == "timm-resnest50d"
+    # tf_ strips ONLY for the efficientnet_lite family (ADVICE r4): the TF
+    # b-variants use SAME padding, a different geometry from the ladder's
+    # torchvision-style efficientnet_b*, so they must NOT silently fold
+    assert normalize_encoder_name(
+        "timm-tf_efficientnet_b3") == "timm-tf_efficientnet_b3"
+    with pytest.raises(ValueError):
+        models.build_model(encoder_name="timm-tf_efficientnet_b3")
     with pytest.raises(ValueError):
         models.build_model(encoder_name="timm-resnest50d")
 
