@@ -175,6 +175,7 @@ class TorchResNetEncoder(nn.Module):
     block: str = "basic"                     # "basic" | "bottleneck"
     groups: int = 1                          # 32 for resnext
     base_width: int = 64                     # 4/8 resnext, 128 wide_resnet
+    se_reduction: int = 0                    # 16 for se_resnet/se_resnext
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "none"
 
@@ -198,6 +199,7 @@ class TorchResNetEncoder(nn.Module):
                     x = TorchBottleneckBlock(width, out_features=planes * 4,
                                              stride=stride,
                                              groups=self.groups,
+                                             se_reduction=self.se_reduction,
                                              dtype=self.dtype,
                                              norm=self.norm)(x)
                 else:
@@ -243,6 +245,7 @@ class TorchBottleneckBlock(nn.Module):
     out_features: int = 0        # 0 -> width * 4 (plain resnet50 rule)
     stride: int = 1
     groups: int = 1
+    se_reduction: int = 0        # 16 -> senet.py SEModule after conv3
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "none"
 
@@ -257,6 +260,11 @@ class TorchBottleneckBlock(nn.Module):
                         norm=self.norm)(h)                    # conv2+bn2+relu
         h = ConvNormAct(c_out, kernel=1, act=False, dtype=self.dtype,
                         norm=self.norm)(h)                    # conv3+bn3
+        if self.se_reduction:
+            # senet.py SEModule: fc1 (c/r) + ReLU -> fc2 (c) + sigmoid
+            # scale, applied to the residual branch before the add
+            h = SqueezeExcite(max(1, c_out // self.se_reduction),
+                              act_name="relu", dtype=self.dtype)(h)
         if self.stride != 1 or c_in != c_out:
             x = nn.Conv(c_out, (1, 1),
                         strides=(self.stride, self.stride),
@@ -358,6 +366,8 @@ _EFFNET_MULT = {  # (width, depth)
     "efficientnet_b3": (1.2, 1.4),
     "efficientnet_b4": (1.4, 1.8),
     "efficientnet_b5": (1.6, 2.2),
+    "efficientnet_b6": (1.8, 2.6),
+    "efficientnet_b7": (2.0, 3.1),
 }
 
 
@@ -383,16 +393,20 @@ def _effnet_arch(name: str):
 class SqueezeExcite(nn.Module):
     """torchvision SqueezeExcitation: global-avg -> 1x1 fc1 + SiLU -> 1x1
     fc2 + sigmoid -> channel scale.  The fc convs carry biases and no BN,
-    so they map unchanged in both the folded and from-scratch forms."""
+    so they map unchanged in both the folded and from-scratch forms.
+    ``act_name="relu"`` gives the senet.py SEModule form (fc1 + ReLU) used
+    by the se_resnet/se_resnext family."""
 
     squeeze: int
     dtype: jnp.dtype = jnp.bfloat16
+    act_name: str = "silu"
 
     @nn.compact
     def __call__(self, x):
+        act = {"silu": nn.silu, "relu": nn.relu}[self.act_name]
         s = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
         s = nn.Conv(self.squeeze, (1, 1), dtype=self.dtype)(s.astype(x.dtype))
-        s = nn.silu(s)
+        s = act(s)
         s = nn.Conv(int(x.shape[-1]), (1, 1), dtype=self.dtype)(s)
         return x * nn.sigmoid(s.astype(x.dtype))
 
@@ -738,6 +752,24 @@ ENCODER_BUILDERS = {
     "wide_resnet50_2": lambda dtype: TorchResNetEncoder(
         layers=(3, 4, 6, 3), block="bottleneck", base_width=128,
         norm="group", dtype=dtype),
+    # smp's senet family (pretrainedmodels senet.py): bottlenecks with an
+    # SEModule (reduction 16, ReLU fc1) on the residual branch.  Fresh-init
+    # only — no name-mapped importer (weights need egress; see MIGRATION.md)
+    "se_resnet50": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 6, 3), block="bottleneck", se_reduction=16,
+        norm="group", dtype=dtype),
+    "se_resnet101": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 23, 3), block="bottleneck", se_reduction=16,
+        norm="group", dtype=dtype),
+    "se_resnet152": lambda dtype: TorchResNetEncoder(
+        layers=(3, 8, 36, 3), block="bottleneck", se_reduction=16,
+        norm="group", dtype=dtype),
+    "se_resnext50_32x4d": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 6, 3), block="bottleneck", groups=32, base_width=4,
+        se_reduction=16, norm="group", dtype=dtype),
+    "se_resnext101_32x4d": lambda dtype: TorchResNetEncoder(
+        layers=(3, 4, 23, 3), block="bottleneck", groups=32, base_width=4,
+        se_reduction=16, norm="group", dtype=dtype),
     "vgg11": lambda dtype: TorchVGGEncoder(variant="vgg11", dtype=dtype),
     "vgg13": lambda dtype: TorchVGGEncoder(variant="vgg13", dtype=dtype),
     "vgg16": lambda dtype: TorchVGGEncoder(variant="vgg16", dtype=dtype),
@@ -767,6 +799,10 @@ ENCODER_BUILDERS = {
         variant="efficientnet_b4", norm="group", dtype=dtype),
     "efficientnet_b5": lambda dtype: TorchEfficientNetEncoder(
         variant="efficientnet_b5", norm="group", dtype=dtype),
+    "efficientnet_b6": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b6", norm="group", dtype=dtype),
+    "efficientnet_b7": lambda dtype: TorchEfficientNetEncoder(
+        variant="efficientnet_b7", norm="group", dtype=dtype),
     "efficientnet_lite0": lambda dtype: EfficientNetLiteEncoder(dtype=dtype),
     "efficientnet_lite1": lambda dtype: EfficientNetLiteEncoder(
         width_mult=1.1, dtype=dtype),

@@ -458,6 +458,10 @@ _IMPORTERS = {
         efficientnet_to_flax, variant="efficientnet_b4"),
     "efficientnet_b5": _functools.partial(
         efficientnet_to_flax, variant="efficientnet_b5"),
+    "efficientnet_b6": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b6"),
+    "efficientnet_b7": _functools.partial(
+        efficientnet_to_flax, variant="efficientnet_b7"),
     "efficientnet_lite0": _functools.partial(
         efficientnet_lite_to_flax, variant="efficientnet_lite0"),
     "timm-tf_efficientnet_lite0": _functools.partial(

@@ -26,7 +26,9 @@ def test_architecture_forward(arch):
                                  "efficientnet_b0", "efficientnet_b2",
                                  "mobilenet_v3_large", "mobilenet_v3_small",
                                  "resnet", "resnet50", "resnext50_32x4d",
-                                 "wide_resnet50_2", "vgg16", "densenet121",
+                                 "wide_resnet50_2", "se_resnet50",
+                                 "se_resnext50_32x4d",
+                                 "vgg16", "densenet121",
                                  "mit_b0", "mit_b1", "mit_b2", "mit_b3"])
 def test_encoders_pyramid(enc):
     e = models.registry.build_encoder(enc)
