@@ -218,15 +218,35 @@ class Annotator:
 
     # -- display --------------------------------------------------------------
 
+    @staticmethod
+    def _matches_any(img: np.ndarray, rgbs) -> np.ndarray:
+        """(H, W) bool: pixels of ``img`` equal to ANY of the rgb triples."""
+        hit = np.zeros(img.shape[:2], bool)
+        for rgb in rgbs:
+            hit |= (img == np.asarray(rgb, img.dtype)).all(axis=-1)
+        return hit
+
     def update_display(self, annotation_opacity=0.25, overlay_opacity=0.25,
-                       overlay=None):
+                       overlay=None, hidden_rgb=()):
+        """Composite image + overlay + annotation mask.  ``hidden_rgb`` is
+        a collection of (r, g, b) class colors to leave un-blended in both
+        the overlay and the painted mask (per-class visibility toggles —
+        beyond the reference, which composites all classes always,
+        app.py:330-343)."""
         out = self.image.astype(np.float32) / 255.0
         if overlay is not None and overlay in self.overlays \
                 and overlay_opacity > 0:
-            ov = self.overlays[overlay].astype(np.float32) / 255.0
-            out = out * (1.0 - overlay_opacity) + ov * overlay_opacity
+            ov_img = self.overlays[overlay]
+            ov = ov_img.astype(np.float32) / 255.0
+            a = overlay_opacity
+            if hidden_rgb:
+                a = np.where(self._matches_any(ov_img, hidden_rgb),
+                             0.0, a)[..., None]
+            out = out * (1.0 - a) + ov * a
         if annotation_opacity > 0:
             painted = self.mask.any(axis=-1)
+            if hidden_rgb:
+                painted &= ~self._matches_any(self.mask, hidden_rgb)
             m = self.mask.astype(np.float32) / 255.0
             out[painted] = (out[painted] * (1.0 - annotation_opacity)
                             + m[painted] * annotation_opacity)

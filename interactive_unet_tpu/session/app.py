@@ -211,6 +211,8 @@ def build_app(root: str = ".", canvas_size: int = 700, resident: bool = False,
                 state.annotator.zoom_in(e["x"], e["y"])
             else:
                 state.annotator.zoom_out(e["x"], e["y"])
+        elif kind == "toggle_class_visibility":
+            state.toggle_class_visibility(int(e.get("class_idx", 0)))
         elif kind == "key":
             _handle_key(state, e)
         return web.json_response({"ok": True})

@@ -61,6 +61,7 @@ class SessionState:
         self.annotation_opacity = 0.25
         self.overlay_opacity = 0.25
         self.overlay = None
+        self.hidden_classes: set[int] = set()  # per-class display toggles
         self.sampling_mode = "random"   # 'random' | 'grid'
         self.sampling_axis = "random"
         # suggestor working resolution: 1 = full-res fit; 2/4 = strided fit
@@ -167,6 +168,14 @@ class SessionState:
     def redo(self):
         self.annotator.redo_annotation()
 
+    def toggle_class_visibility(self, class_idx: int):
+        """Hide/show one class (1-based palette index) in the composited
+        frame; hidden classes stay in the mask/overlays and in saved
+        samples — this is display-only."""
+        if not 1 <= class_idx <= self.num_classes:
+            return
+        self.hidden_classes ^= {class_idx}
+
     def next_class(self):
         self.color_idx += 1
         if self.color_idx == self.num_classes + 1:
@@ -183,7 +192,9 @@ class SessionState:
         """Current composited ROI frame (canvas_size^2 RGB)."""
         self.annotator.update_display(
             annotation_opacity=self.annotation_opacity,
-            overlay_opacity=self.overlay_opacity, overlay=self.overlay)
+            overlay_opacity=self.overlay_opacity, overlay=self.overlay,
+            hidden_rgb=tuple(tuple(int(v) for v in C.COLORS[i])
+                             for i in sorted(self.hidden_classes)))
         return self.annotator.get_roi_image()
 
     # -- persistence ---------------------------------------------------------
@@ -460,6 +471,7 @@ class SessionState:
             "building_volumes": self.building_volumes,
             "suggest_score": self.last_suggest_score,
             "overlay": self.overlay,
+            "hidden_classes": sorted(self.hidden_classes),
             "sampling_mode": self.sampling_mode,
             "num_channels": self.num_channels,
             "suggestor_fit_stride": self.suggestor_fit_stride,

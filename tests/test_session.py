@@ -76,6 +76,57 @@ def test_class_cycling(tiny_ws):
     assert st.color_idx == 3
 
 
+def test_class_visibility_toggle(tiny_ws):
+    """Hidden classes drop out of the composited frame (display-only:
+    the mask and save path keep them)."""
+    st = _mk_state(tiny_ws)
+    st.annotation_opacity = 1.0
+    st.brush_size = 20
+    st.color_idx = 1
+    st.stroke([(10, 10), (20, 20)], mode="paint")
+    st.color_idx = 2
+    st.stroke([(50, 50), (60, 60)], mode="paint")
+    full = st.frame().copy()
+
+    def painted_with(frame, idx):
+        return (frame == np.asarray(C.COLORS[idx], np.uint8)).all(-1).any()
+
+    assert painted_with(full, 1) and painted_with(full, 2)
+    st.toggle_class_visibility(1)
+    assert st.status()["hidden_classes"] == [1]
+    hid = st.frame().copy()
+    assert not painted_with(hid, 1), "hidden class still composited"
+    assert painted_with(hid, 2), "visible class vanished"
+    # mask untouched — hiding is display-only
+    assert (st.annotator.mask == np.asarray(C.COLORS[1], np.uint8)
+            ).all(-1).any()
+    st.toggle_class_visibility(1)  # toggle back
+    assert st.status()["hidden_classes"] == []
+    assert np.array_equal(st.frame(), full)
+    # out-of-range indices are ignored
+    st.toggle_class_visibility(0)
+    st.toggle_class_visibility(99)
+    assert st.status()["hidden_classes"] == []
+
+
+def test_class_visibility_filters_overlay(tiny_ws):
+    st = _mk_state(tiny_ws)
+    st.annotation_opacity = 0.0
+    st.overlay_opacity = 1.0
+    ov = np.zeros((48, 48, 3), np.uint8)
+    ov[:24] = C.COLORS[1]
+    ov[24:] = C.COLORS[2]
+    st.annotator.overlays["model_predictions"] = ov
+    st.overlay = "model_predictions"
+    frame = st.frame()
+    c1 = np.asarray(C.COLORS[1], np.uint8)
+    assert (frame == c1).all(-1).any()
+    st.toggle_class_visibility(1)
+    frame = st.frame()
+    assert not (frame == c1).all(-1).any()
+    assert (frame == np.asarray(C.COLORS[2], np.uint8)).all(-1).any()
+
+
 def test_shift_origin_changes_slice(tiny_ws):
     st = _mk_state(tiny_ws)
     before = st.image_slice.copy()
