@@ -37,3 +37,41 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# -- process isolation for the suite's giant-compile tests --------------------
+# XLA:CPU has crashed hard (SIGSEGV/abort in backend_compile, rounds 3-5)
+# compiling the suite's LARGEST scan programs late in a long single-process
+# run — always at the same giant-compile test, never when that test runs in
+# a fresh process (solo runs pass deterministically, ~90 s).  The crash is
+# cumulative native state in this jax build, not the program: isolating the
+# few known-giant compiles into child pytest processes keeps the canonical
+# `python -m pytest tests/ -q` green without skipping anything — the child
+# runs the full test body and its result is reported through the parent.
+
+def isolated_process(fn):
+    """Run the decorated test in its own pytest process (fresh XLA state).
+
+    In the child (IUNET_TEST_IN_CHILD=1) the body runs normally.  In the
+    parent, spawn `pytest <this nodeid>` and fail with the child's output
+    if it fails.  Fixtures still bind in the parent but go unused."""
+    import functools
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get("IUNET_TEST_IN_CHILD"):
+            return fn(*args, **kwargs)
+        root = Path(__file__).resolve().parent.parent
+        nodeid = (f"{Path(fn.__code__.co_filename).relative_to(root)}"
+                  f"::{fn.__name__}")
+        env = {**os.environ, "IUNET_TEST_IN_CHILD": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x", nodeid],
+            cwd=root, env=env, capture_output=True, text=True, timeout=2400)
+        assert r.returncode == 0, (
+            f"isolated child run of {nodeid} failed (rc={r.returncode}):\n"
+            f"{r.stdout[-4000:]}\n{r.stderr[-2000:]}")
+    return wrapper

@@ -3,6 +3,7 @@ caching (reference suggestor.py semantics)."""
 
 import numpy as np
 import pytest
+from conftest import isolated_process
 
 from interactive_unet_tpu.engine.suggestor import Suggestor, make_suggestions
 from interactive_unet_tpu.ops import colors as C
@@ -93,6 +94,7 @@ def test_compiled_program_shared_across_instances():
     assert a.model is b.model
 
 
+@isolated_process
 def test_fit_stride_quality(rng):
     """Working-resolution fit (fit_stride=2): 4x less fit work, final
     inference still full-res, quality preserved on a separable slice."""
@@ -112,6 +114,7 @@ def test_fit_stride_quality(rng):
     assert left_ok > 0.7 and right_ok > 0.7, (left_ok, right_ok)
 
 
+@isolated_process
 def test_pretrained_suggestor_grafts(tmp_path, monkeypatch, rng):
     """Suggestor(pretrained=True, mobilenet_v2) starts the 30-step fit from
     grafted torch weights (reference suggestor.py:22-25 uses ImageNet
