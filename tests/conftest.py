@@ -39,6 +39,23 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Drop jit caches (and their live XLA:CPU executables) after every
+    test module.  This jax build's CPU backend segfaults inside
+    backend_compile once a single process accumulates enough compiled
+    programs (reproduced 3x at the same suite position, independent of
+    WHICH test compiles next; glibc heap checking found nothing; solo
+    runs of the crashing tests always pass).  Bounding the live-program
+    population keeps the canonical single-process `pytest tests/` run
+    under the threshold.  Cross-module jit sharing is rare, so the
+    recompile cost is small."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 # -- process isolation for the suite's giant-compile tests --------------------
 # XLA:CPU has crashed hard (SIGSEGV/abort in backend_compile, rounds 3-5)
 # compiling the suite's LARGEST scan programs late in a long single-process
